@@ -1,0 +1,84 @@
+"""Entry-point plugin registry for third-party filters.
+
+Clean-room port of the semantics in SURVEY.md §2.6
+(reference: /root/reference/filters/extensions.py). Third-party packages
+register filter classes under the ``filters_ray.extensions`` entry-point
+group; they become available as attributes of ``filters_ray.ext``.
+
+Engine note: registered filters may also provide a vectorized
+``apply_column`` (see :mod:`filters_ray.vector`) which the batch compiler
+picks up automatically.
+"""
+
+from __future__ import annotations
+
+import logging
+from importlib.metadata import entry_points
+from typing import Any, Dict
+
+from .base import BaseFilter
+
+__all__ = ['FilterExtensionRegistry', 'GROUP_NAME']
+
+GROUP_NAME = 'filters_ray.extensions'
+
+logger = logging.getLogger(__name__)
+
+
+class FilterExtensionRegistry:
+    """Lazy attribute-access registry over an entry-point group."""
+
+    def __init__(self, group: str = GROUP_NAME) -> None:
+        self._group = group
+        self._cache: Dict[str, type] = {}
+        self._loaded = False
+
+    def _ensure_loaded(self) -> None:
+        if self._loaded:
+            return
+        self._loaded = True
+        try:
+            eps = entry_points(group=self._group)
+        except TypeError:
+            # Older importlib.metadata API (pre-3.10 selectable entry points).
+            eps = entry_points().get(self._group, [])  # type: ignore[union-attr]
+        for ep in eps:
+            try:
+                target = ep.load()
+            except Exception:  # noqa: BLE001 — a broken plugin must not kill the host
+                logger.exception('Unable to load extension filter %r', ep.name)
+                continue
+            if isinstance(target, type) and issubclass(target, BaseFilter):
+                if ep.name in self._cache:
+                    logger.warning(
+                        'Duplicate extension filter name %r; keeping first.',
+                        ep.name,
+                    )
+                    continue
+                self._cache[ep.name] = target
+            else:
+                logger.warning(
+                    'Entry point %r does not resolve to a BaseFilter subclass.',
+                    ep.name,
+                )
+
+    def __getattr__(self, name: str) -> Any:
+        self._ensure_loaded()
+        try:
+            return self._cache[name]
+        except KeyError:
+            raise AttributeError(name) from None
+
+    def __dir__(self):
+        self._ensure_loaded()
+        return sorted(set(super().__dir__()) | set(self._cache))
+
+    def __len__(self) -> int:
+        self._ensure_loaded()
+        return len(self._cache)
+
+    def register(self, name: str, filter_type: type) -> None:
+        """Programmatic registration (used by tests and in-process plugins)."""
+        if not (isinstance(filter_type, type) and issubclass(filter_type, BaseFilter)):
+            raise TypeError(f'{filter_type!r} is not a BaseFilter subclass.')
+        self._cache[name] = filter_type

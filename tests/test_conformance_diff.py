@@ -1,0 +1,164 @@
+"""Differential conformance: our scalar library vs the reference library.
+
+Every (chain builder, input) pair is run through both implementations via
+their FilterRunner façades; ``cleaned_data`` and ``error_codes`` must match
+exactly. This covers the semantics traps listed in SURVEY.md §7.3 without
+porting the reference test files verbatim.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import uuid
+from collections import OrderedDict
+
+import pytest
+
+import filters_ray as f
+
+D = decimal.Decimal
+
+
+def build_cases():
+    """(name, chain_builder(mod) -> spec, inputs) triples.
+
+    ``chain_builder`` receives either our module or the reference module so
+    the same spec is constructed against both APIs.
+    """
+    scalar_inputs = [
+        None, '', 'foo', '  padded  ', 'FOO', b'bytes', b'', 0, 1, -1, 3.5,
+        True, False, [], [1, 2, 3], {}, {'a': 1}, '42', '-17', '3.14',
+        'NaN', '+Inf', '-Inf', '1.5', D('2.50'), 'not a number',
+        'écolé',  # NFC/NFD mix
+        'a\r\nb\rc', 'тест', '♪♫', 1 << 70,
+    ]
+    dt_inputs = [
+        None, '2015-05-11T14:56:58-05:00', '2015-05-11 14:56:58',
+        '2015-05-11', 'not a date', '2015-13-45',
+        datetime.datetime(2015, 5, 11, 12, 0, 0),
+        datetime.date(2015, 5, 11), '',
+    ]
+    b64_inputs = [
+        None, b'aGVsbG8=', b'aGVsbG8', b'aGVs bG8=', b'aGVsbG8===',
+        b'-_-_', b'+/+/', b'-_+/', b'!!!', 'not bytes', b'',
+    ]
+    uuid_inputs = [
+        None, '3466c56a-2f7e-4e5b-affa-292cbe84c2fb',
+        uuid.UUID('3466c56a-2f7e-4e5b-affa-292cbe84c2fb'),
+        'definitely-not-a-uuid', '', 12345,
+        '2830f705d4964b2bb4ea3cfcd5ad2c5e',
+    ]
+    mapping_inputs = [
+        None, {}, {'id': '42', 'subject': 'hi'}, {'id': 'x'},
+        {'id': '1', 'subject': 'hi', 'extra': 'e'},
+        {'subject': 'only'}, 'not a mapping', 42,
+        OrderedDict([('subject', 's'), ('id', '7')]),
+    ]
+    seq_inputs = [
+        None, [], [4, 'NaN', 3.14, 'FOO', ''], ['1', '2', '3'],
+        'strings are not arrays', (1, 2), {'k': '5'}, 42,
+    ]
+
+    return [
+        ('int', lambda m: m.Int, scalar_inputs),
+        ('int_max', lambda m: m.Int | m.Max(3), scalar_inputs),
+        ('int_min_excl', lambda m: m.Int | m.Min(0, exclusive=True), ['0', '1', '-1', None]),
+        ('decimal', lambda m: m.Decimal, scalar_inputs),
+        ('decimal_prec', lambda m: m.Decimal(max_precision=2), ['3.14159', '2', None, 'x']),
+        ('round_int', lambda m: m.Round(to_nearest=1), ['1.5', '2.5', '-1.5', '0.4', None, 'z']),
+        ('round_quarter', lambda m: m.Round(to_nearest='0.25'), ['1', '1.13', None]),
+        ('max_len_chain', lambda m: m.MaxLength(3) | m.MinLength(8) | m.Required,
+         ['foobar', 'ab', None, 'abc']),
+        ('required', lambda m: m.Required, scalar_inputs),
+        ('not_empty', lambda m: m.NotEmpty, scalar_inputs),
+        ('not_empty_strict', lambda m: m.NotEmpty(allow_none=False), [None, '', 'x', 0]),
+        ('empty', lambda m: m.Empty, scalar_inputs),
+        ('optional_def', lambda m: m.Optional(default='DEF'), [None, '', 'x', 0, [], False]),
+        ('length', lambda m: m.Length(3), ['abc', 'ab', 'abcd', [1, 2, 3], None, 5]),
+        ('noop', lambda m: m.NoOp, scalar_inputs),
+        ('array', lambda m: m.Array, seq_inputs),
+        ('bytearray', lambda m: m.ByteArray,
+         [None, b'abc', 'abc', bytearray(b'xy'), [65, 66], [65, 300], [65, -1],
+          ['a'], 42, 'тест']),
+        ('choice', lambda m: m.Choice(choices={'m', 'f', 'x'}),
+         [None, 'm', 'M', 'z', 1, '']),
+        ('casefold_choice', lambda m: m.CaseFold | m.Choice(choices={'m', 'f', 'x'}),
+         [None, 'M', 'F', 'z']),
+        ('unicode', lambda m: m.Unicode, scalar_inputs),
+        ('unicode_raw', lambda m: m.Unicode(normalize=False), scalar_inputs),
+        ('bytestring', lambda m: m.ByteString, scalar_inputs),
+        ('bytestring_norm', lambda m: m.ByteString(normalize=True), ['a\r\nb', 'é', None]),
+        ('casefold', lambda m: m.CaseFold, [None, 'FOO', 'Straße', b'x', 1]),
+        ('strip', lambda m: m.Strip, [None, '  x  ', '\x00hi\x1f', 'ok', 5]),
+        ('strip_custom', lambda m: m.Strip(leading=r'x+', trailing=r'y+'),
+         ['xxhiyy', 'hi', None]),
+        ('regex_hex', lambda m: m.Regex(r'^[0-9a-f]{4}$'),
+         [None, 'beef', 'BEEF', 'xyz', '', 42]),
+        ('regex_find', lambda m: m.Regex(r'\d+'), ['a1b22c333', 'none here', None]),
+        ('split_plain', lambda m: m.Split(r':'), [None, 'a:b:c', 'solo', 7]),
+        ('split_keys', lambda m: m.Split(r':', keys=('a', 'b', 'c')),
+         ['x:y', 'x:y:z', 'w:x:y:z', None]),
+        ('base64', lambda m: m.Base64Decode, b64_inputs),
+        ('uuid', lambda m: m.Uuid, uuid_inputs),
+        ('uuid_v4', lambda m: m.Uuid(version=4), uuid_inputs),
+        ('ip4', lambda m: m.IpAddress, [None, '127.0.0.1', '256.1.1.1', '::1', 'x', 9]),
+        ('ip46', lambda m: m.IpAddress(ipv4=True, ipv6=True),
+         [None, '127.0.0.1', '::1', '2001:0db8:0000:0000:0000:0000:0000:0001', 'x']),
+        ('json', lambda m: m.JsonDecode,
+         [None, '{"b": 1, "a": 2}', '[1,2]', 'not json', '', 42]),
+        ('maxbytes', lambda m: m.MaxBytes(4),
+         [None, 'ab', 'abcd', 'abcde', 'даль', '♪♫♬', b'abcdef', 42]),
+        ('maxbytes_notrunc', lambda m: m.MaxBytes(4, truncate=False), ['abcdef', 'ab', None]),
+        ('maxbytes_prefix', lambda m: m.MaxBytes(8, prefix='..'), ['abcdefghij', 'ab', None]),
+        ('datetime', lambda m: m.Datetime, dt_inputs),
+        ('datetime_naive', lambda m: m.Datetime(naive=True), dt_inputs),
+        ('datetime_tz5', lambda m: m.Datetime(timezone=5), dt_inputs),
+        ('date', lambda m: m.Date, dt_inputs),
+        ('repeater', lambda m: m.FilterRepeater(m.NotEmpty | m.Int), seq_inputs),
+        ('repeater_restrict', lambda m: m.FilterRepeater(m.Int, restrict_keys={0, 1}),
+         [['1', '2', '3'], ['1'], None]),
+        ('repeater_map', lambda m: m.FilterRepeater(m.Int),
+         [{'a': '1', 'b': 'x'}, {}, None]),
+        ('mapper_default', lambda m: m.FilterMapper({
+            'id': m.Required | m.Int,
+            'subject': m.Unicode | m.NotEmpty | m.MaxLength(16),
+        }), mapping_inputs),
+        ('mapper_strict', lambda m: m.FilterMapper({
+            'id': m.Required | m.Int,
+            'subject': m.Unicode | m.NotEmpty | m.MaxLength(16),
+        }, allow_missing_keys=False, allow_extra_keys=False), mapping_inputs),
+        ('mapper_partial', lambda m: m.FilterMapper({
+            'id': m.Required | m.Int,
+            'subject': None,
+        }, allow_missing_keys={'subject'}, allow_extra_keys={'extra'}), mapping_inputs),
+        ('mapper_nested', lambda m: m.FilterMapper({
+            'data': m.FilterMapper({'street': m.FilterRepeater(m.Unicode | m.NotEmpty)}),
+        }), [{'data': {'street': ['a', '', 'c']}}, {'data': 'oops'}, None]),
+    ]
+
+
+CASES = build_cases()
+
+
+def run_one(module, builder, value):
+    runner = module.FilterRunner(builder(module), value, capture_exc_info=True)
+    return runner.cleaned_data, dict(runner.error_codes), runner.is_valid()
+
+
+@pytest.mark.parametrize(
+    ('name', 'builder', 'inputs'),
+    [(n, b, i) for n, b, i in CASES],
+    ids=[n for n, _, _ in CASES],
+)
+def test_differential(reference, name, builder, inputs):
+    for value in inputs:
+        ours = run_one(f, builder, value)
+        refs = run_one(reference, builder, value)
+        assert ours[1] == refs[1], (
+            f'{name}({value!r}): error codes differ: ours={ours[1]} ref={refs[1]}'
+        )
+        assert ours[0] == refs[0], (
+            f'{name}({value!r}): cleaned data differs: ours={ours[0]!r} ref={refs[0]!r}'
+        )
+        assert ours[2] == refs[2]
