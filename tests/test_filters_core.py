@@ -244,8 +244,10 @@ class ValueSemanticsTest(BaseFilterTestCase):
         assert bs.apply('a\r\nb') == b'a\r\nb'
 
     def test_maxbytes_multibyte_truncation(self):
-        out = f.MaxBytes(5).apply('дом')  # 2 bytes per char
-        assert out == 'до'.encode('utf-8')  # 4 bytes; no split sequence
+        runner = f.FilterRunner(f.MaxBytes(5), 'дом')  # 2 bytes per char
+        assert runner.error_codes == {'': ['too_long']}
+        # Replacement: 4 bytes — never splits a multibyte sequence.
+        assert runner.cleaned_data == 'до'.encode('utf-8')
 
     def test_split_keys_padding(self):
         out = f.Split(r':', keys=('a', 'b', 'c')).apply('x:y')
