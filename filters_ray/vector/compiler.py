@@ -1,0 +1,139 @@
+"""Chain compiler: FilterChain spec → vectorized column transform.
+
+Implements the reference's per-value short-circuit (reference
+base.py:521-532) with error masks instead of control flow: kernel *k+1*'s
+results are only taken for rows whose error mask is still clear, and a
+row's value freezes at its replacement the moment it errors.
+
+Chain specs (class, instance, ``a | b``) are the same objects the scalar
+API builds — compile once per actor/worker (stateful-stage rule,
+SURVEY.md §3.4), apply per batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import base as fbase
+from .kernels import KernelResult, make_kernel
+
+__all__ = ['ColumnErrors', 'CompiledChain', 'compile_chain']
+
+
+@dataclass
+class ColumnErrors:
+    """Per-row error codes for one column: parallel lists of row index
+    arrays + (code, subkey) labels, cheap to merge across columns."""
+
+    n: int
+    entries: List[Tuple[np.ndarray, str, str]] = field(default_factory=list)
+
+    def add(self, mask: np.ndarray, code: str, subkey: str = '') -> None:
+        if mask.any():
+            self.entries.append((np.flatnonzero(mask), code, subkey))
+
+    @property
+    def row_mask(self) -> np.ndarray:
+        mask = np.zeros(self.n, dtype=bool)
+        for rows, _, _ in self.entries:
+            mask[rows] = True
+        return mask
+
+    def codes_per_row(self) -> List[List[Tuple[str, str]]]:
+        out: List[List[Tuple[str, str]]] = [[] for _ in range(self.n)]
+        for rows, code, subkey in self.entries:
+            for i in rows:
+                out[i].append((subkey, code))
+        return out
+
+
+class CompiledChain:
+    """A filter chain compiled to a sequence of column kernels."""
+
+    def __init__(self, spec: fbase.FilterCompatible) -> None:
+        resolved = fbase.BaseFilter.resolve(spec)
+        if isinstance(resolved, fbase.FilterChain):
+            members = list(resolved._filters)
+        elif resolved is None:
+            members = []
+        else:
+            members = [resolved]
+        self._members = members
+        self._kernels = [make_kernel(m) for m in members]
+
+    def apply_column(self, arr) -> Tuple[pa.Array, ColumnErrors]:
+        """Apply the chain to a column; returns (values, errors).
+
+        For rows that errored, the returned value is the row's replacement
+        (null, except e.g. MaxBytes truncation).
+        """
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = len(arr)
+        errors = ColumnErrors(n)
+        ok = np.ones(n, dtype=bool)
+        current = arr
+        # (mask, values-at-error) pairs to stitch replacements back in.
+        frozen: List[Tuple[np.ndarray, pa.Array]] = []
+
+        for kernel in self._kernels:
+            result: KernelResult = kernel(current)
+            newly = np.zeros(n, dtype=bool)
+            for mask, code, subkey in result.errors:
+                effective = mask & ok
+                errors.add(effective, code, subkey)
+                newly |= effective
+            if newly.any():
+                frozen.append((newly, result.values))
+                ok &= ~newly
+            current = result.values
+            if not ok.any():
+                break
+
+        return self._stitch(current, frozen, n), errors
+
+    @staticmethod
+    def _stitch(
+        current: pa.Array,
+        frozen: List[Tuple[np.ndarray, pa.Array]],
+        n: int,
+    ) -> pa.Array:
+        """Overlay frozen replacement values onto the final array."""
+        if not frozen:
+            return current
+        out = current
+        for mask, vals in frozen:
+            if vals.type != out.type:
+                try:
+                    vals = vals.cast(out.type)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+                    # Rare type clash (e.g. replacement bytes into a string
+                    # chain output): stitch in Python.
+                    out_py = out.to_pylist()
+                    vals_py = vals.to_pylist()
+                    for i in np.flatnonzero(mask):
+                        out_py[i] = vals_py[i]
+                    out = pa.array(out_py)
+                    continue
+            try:
+                out = pc.if_else(pa.array(~mask), out, vals)
+            except pa.ArrowNotImplementedError:
+                # if_else not implemented for this type (nested lists):
+                # take() based overlay.
+                idx = np.arange(n)
+                take_from_vals = np.flatnonzero(mask)
+                out_py = out.to_pylist()
+                vals_py = vals.to_pylist()
+                for i in take_from_vals:
+                    out_py[i] = vals_py[i]
+                out = pa.array(out_py, type=out.type)
+        return out
+
+
+def compile_chain(spec: fbase.FilterCompatible) -> CompiledChain:
+    return CompiledChain(spec)

@@ -1,0 +1,604 @@
+"""Vectorized Arrow column kernels for the scalar filter library.
+
+Each kernel maps a filter instance to a column transform::
+
+    kernel(values: pa.Array) -> KernelResult(values, errors)
+
+where ``errors`` is a list of ``(mask, code, subkey)`` triples — ``mask`` a
+boolean ndarray marking rows that failed with ``code``. The contract:
+
+* Null rows follow the filter's None policy (pass everywhere except
+  Required-style filters) — kernels must not flag nulls spuriously.
+* For rows flagged in an error mask, ``values`` already holds the row's
+  replacement (null for every filter except MaxBytes truncation).
+* Vectorized kernels must agree cell-for-cell with the scalar filter
+  (enforced by tests/test_vector.py's scalar-vs-vector parity battery).
+
+Filters without a vector implementation fall back to
+:class:`ScalarFallbackKernel`, which loops the compiled scalar chain over
+the batch — correct for every filter, used off the hot path.
+"""
+
+from __future__ import annotations
+
+import decimal
+import uuid as _uuid
+from dataclasses import dataclass, field
+from typing import Any, Callable, List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import base as fbase
+from ..functions import complex as fcomplex  # noqa: F401 (registered fallback)
+from ..functions import number as fnumber
+from ..functions import simple as fsimple
+from ..functions import string as fstring
+
+__all__ = ['KernelResult', 'ScalarFallbackKernel', 'make_kernel']
+
+ErrorEntry = Tuple[np.ndarray, str, str]  # (mask, code, subkey)
+
+
+@dataclass
+class KernelResult:
+    values: pa.Array
+    errors: List[ErrorEntry] = field(default_factory=list)
+
+
+def _as_bool_ndarray(mask: pa.Array, n: int) -> np.ndarray:
+    """Arrow boolean array (possibly with nulls) -> dense ndarray[bool]."""
+    if isinstance(mask, np.ndarray):
+        return mask
+    return np.asarray(pc.fill_null(mask, False).to_numpy(zero_copy_only=False), dtype=bool)
+
+
+def _null_like(arr: pa.Array) -> pa.Array:
+    return pa.nulls(len(arr), type=arr.type)
+
+
+def _nullify(arr: pa.Array, mask: np.ndarray) -> pa.Array:
+    """Set masked rows to null."""
+    if not mask.any():
+        return arr
+    return pc.if_else(pa.array(~mask), arr, pa.scalar(None, type=arr.type))
+
+
+def _length_array(arr: pa.Array) -> Optional[pa.Array]:
+    """Per-row length for sized column types, else None."""
+    t = arr.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return pc.utf8_length(arr)
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t) or pa.types.is_fixed_size_binary(t):
+        return pc.binary_length(arr)
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return pc.list_value_length(arr)
+    if pa.types.is_map(t):
+        return pc.map_entries(arr).combine_chunks() if False else pc.list_value_length(arr)
+    return None
+
+
+def _not_null_mask(arr: pa.Array) -> np.ndarray:
+    return _as_bool_ndarray(pc.is_valid(arr), len(arr))
+
+
+# ---------------------------------------------------------------------------
+# individual kernels
+# ---------------------------------------------------------------------------
+
+
+def _kernel_not_empty(filt: fsimple.NotEmpty) -> Callable[[pa.Array], KernelResult]:
+    allow_none = filt.allow_none
+    code = filt.CODE_EMPTY
+
+    def kernel(arr: pa.Array) -> KernelResult:
+        n = len(arr)
+        lengths = _length_array(arr)
+        if lengths is None:
+            # Length-less values are never empty.
+            empty = np.zeros(n, dtype=bool)
+        else:
+            empty = _as_bool_ndarray(pc.equal(lengths, 0), n)
+        if not allow_none:
+            empty |= ~_not_null_mask(arr)
+        if not empty.any():
+            return KernelResult(arr)
+        return KernelResult(_nullify(arr, empty), [(empty, code, '')])
+
+    return kernel
+
+
+def _kernel_empty(filt: fsimple.Empty) -> Callable[[pa.Array], KernelResult]:
+    def kernel(arr: pa.Array) -> KernelResult:
+        n = len(arr)
+        lengths = _length_array(arr)
+        if lengths is None:
+            bad = _not_null_mask(arr)  # every non-null length-less value fails
+        else:
+            bad = _as_bool_ndarray(pc.greater(lengths, 0), n)
+        return KernelResult(_nullify(arr, bad), [(bad, filt.CODE_NOT_EMPTY, '')] if bad.any() else [])
+
+    return kernel
+
+
+def _kernel_optional(filt: fsimple.Optional) -> Callable[[pa.Array], KernelResult]:
+    default = filt.default
+
+    def kernel(arr: pa.Array) -> KernelResult:
+        lengths = _length_array(arr)
+        replace = ~_not_null_mask(arr)
+        if lengths is not None:
+            replace |= _as_bool_ndarray(pc.equal(lengths, 0), len(arr))
+        if not replace.any():
+            return KernelResult(arr)
+        if default is None:
+            return KernelResult(_nullify(arr, replace))
+        out_type = arr.type if not pa.types.is_null(arr.type) else None
+        try:
+            scalar = pa.scalar(default, type=out_type)
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            scalar = pa.scalar(default)
+            arr = arr.cast(scalar.type)
+        return KernelResult(pc.if_else(pa.array(~replace), arr, scalar))
+
+    return kernel
+
+
+def _kernel_lengths(filt) -> Callable[[pa.Array], KernelResult]:
+    """Shared implementation for Length / MaxLength / MinLength."""
+    if isinstance(filt, fsimple.Length):
+        lo = hi = filt.length
+        unsized_code = fbase.Type.CODE_WRONG_TYPE  # Type(Sized) gate
+    elif isinstance(filt, fsimple.MaxLength):
+        lo, hi = None, filt.max_length
+        unsized_code = fbase.BaseFilter.CODE_EXCEPTION  # len() TypeError
+    else:
+        lo, hi = filt.min_length, None
+        unsized_code = fbase.BaseFilter.CODE_EXCEPTION
+
+    def kernel(arr: pa.Array) -> KernelResult:
+        n = len(arr)
+        lengths = _length_array(arr)
+        if lengths is None:
+            bad = _not_null_mask(arr)
+            return KernelResult(_nullify(arr, bad), [(bad, unsized_code, '')] if bad.any() else [])
+        errors: List[ErrorEntry] = []
+        dead = np.zeros(n, dtype=bool)
+        if hi is not None:
+            too_long = _as_bool_ndarray(pc.greater(lengths, hi), n)
+            if too_long.any():
+                errors.append((too_long, 'too_long', ''))
+                dead |= too_long
+        if lo is not None:
+            too_short = _as_bool_ndarray(pc.less(lengths, lo), n)
+            too_short &= ~dead
+            if too_short.any():
+                errors.append((too_short, 'too_short', ''))
+                dead |= too_short
+        return KernelResult(_nullify(arr, dead), errors)
+
+    return kernel
+
+
+def _kernel_choice(filt: fsimple.Choice) -> Callable[[pa.Array], KernelResult]:
+    choices = sorted(filt.choices, key=repr)
+
+    def kernel(arr: pa.Array) -> KernelResult:
+        try:
+            value_set = pa.array(choices, type=arr.type)
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            # Type mismatch between column and choice set: nothing matches.
+            bad = _not_null_mask(arr)
+            return KernelResult(_nullify(arr, bad), [(bad, filt.CODE_INVALID, '')] if bad.any() else [])
+        ok = _as_bool_ndarray(pc.is_in(arr, value_set=value_set), len(arr))
+        bad = ~ok & _not_null_mask(arr)
+        return KernelResult(_nullify(arr, bad), [(bad, filt.CODE_INVALID, '')] if bad.any() else [])
+
+    return kernel
+
+
+_NON_ASCII = r'[^\x00-\x7F]'
+
+
+def _kernel_casefold(filt: fstring.CaseFold) -> Callable[[pa.Array], KernelResult]:
+    def kernel(arr: pa.Array) -> KernelResult:
+        if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
+            bad = _not_null_mask(arr)
+            return KernelResult(_null_like(arr), [(bad, fbase.Type.CODE_WRONG_TYPE, '')] if bad.any() else [])
+        # ASCII rows: casefold == lower, fully vectorized. Non-ASCII rows
+        # (rare in the CDC corpus) drop to Python str.casefold for parity
+        # (e.g. 'ß' -> 'ss', which utf8_lower cannot produce).
+        non_ascii = _as_bool_ndarray(pc.match_substring_regex(arr, _NON_ASCII), len(arr))
+        lowered = pc.utf8_lower(arr)
+        if non_ascii.any():
+            py = arr.to_pylist()
+            fixed = [py[i].casefold() if non_ascii[i] and py[i] is not None else None
+                     for i in range(len(py))]
+            lowered = pc.if_else(pa.array(~non_ascii), lowered, pa.array(fixed, type=arr.type))
+        return KernelResult(lowered)
+
+    return kernel
+
+
+def _kernel_strip(filt: fstring.Strip) -> Callable[[pa.Array], KernelResult]:
+    leading = filt.leading.pattern if filt.leading else None
+    trailing = filt.trailing.pattern if filt.trailing else None
+
+    def kernel(arr: pa.Array) -> KernelResult:
+        if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
+            bad = _not_null_mask(arr)
+            return KernelResult(_null_like(arr), [(bad, fbase.Type.CODE_WRONG_TYPE, '')] if bad.any() else [])
+        out = arr
+        if leading:
+            out = pc.replace_substring_regex(out, pattern=leading, replacement='', max_replacements=1)
+        if trailing:
+            out = pc.replace_substring_regex(out, pattern=trailing, replacement='', max_replacements=1)
+        return KernelResult(out)
+
+    return kernel
+
+
+_NPR_PATTERN = r'[^\P{C}\s]+'  # non-printables, excluding whitespace
+
+
+def _normalize_string_array(arr: pa.Array) -> pa.Array:
+    """NFC + strip non-printables + unix newlines (Unicode normalize=True)."""
+    out = pc.replace_substring_regex(arr, pattern=_NPR_PATTERN, replacement='')
+    # NFC composition: pyarrow's utf8_normalize does not compose (verified:
+    # NFD 'é' stays decomposed in Arrow 16), so run Python
+    # unicodedata.normalize on the (usually rare) non-ASCII rows only.
+    non_ascii = _as_bool_ndarray(pc.match_substring_regex(out, _NON_ASCII), len(out))
+    if non_ascii.any():
+        import unicodedata
+        py = out.to_pylist()
+        fixed = [
+            unicodedata.normalize('NFC', py[i])
+            if non_ascii[i] and py[i] is not None else None
+            for i in range(len(py))
+        ]
+        out = pc.if_else(pa.array(~non_ascii), out, pa.array(fixed, type=out.type))
+    out = pc.replace_substring(out, pattern='\r\n', replacement='\n')
+    out = pc.replace_substring(out, pattern='\r', replacement='\n')
+    return out
+
+
+def _coerce_to_string(arr: pa.Array, encoding: str) -> Tuple[pa.Array, np.ndarray]:
+    """Unicode coercion step: returns (string array, wrong_encoding mask)."""
+    t = arr.type
+    n = len(arr)
+    bad = np.zeros(n, dtype=bool)
+
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return arr, bad
+
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t) or pa.types.is_fixed_size_binary(t):
+        if encoding.lower().replace('-', '') == 'utf8':
+            try:
+                return arr.cast(pa.string()), bad  # cast validates UTF-8
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                pass
+        # Per-row decode (invalid rows or non-UTF-8 encodings).
+        py = arr.to_pylist()
+        out: list = []
+        for i, v in enumerate(py):
+            if v is None:
+                out.append(None)
+                continue
+            try:
+                out.append(v.decode(encoding))
+            except (UnicodeDecodeError, LookupError):
+                out.append(None)
+                bad[i] = True
+        return pa.array(out, type=pa.string()), bad
+
+    if pa.types.is_boolean(t):
+        return pc.if_else(arr, pa.scalar('1'), pa.scalar('0')), bad
+
+    if pa.types.is_integer(t) or pa.types.is_floating(t):
+        return arr.cast(pa.string()), bad
+
+    if pa.types.is_decimal(t):
+        # format(v, 'f') semantics — Arrow's decimal->string is plain form.
+        return arr.cast(pa.string()), bad
+
+    # Fallback: stringify via Python.
+    py = arr.to_pylist()
+    return pa.array([None if v is None else str(v) for v in py], type=pa.string()), bad
+
+
+def _kernel_unicode(filt: fstring.Unicode) -> Callable[[pa.Array], KernelResult]:
+    normalize = filt.normalize
+    encoding = filt.encoding
+
+    def kernel(arr: pa.Array) -> KernelResult:
+        coerced, bad = _coerce_to_string(arr, encoding)
+        if normalize:
+            coerced = _normalize_string_array(coerced)
+        errors = [(bad, filt.CODE_DECODE_ERROR, '')] if bad.any() else []
+        return KernelResult(coerced, errors)
+
+    return kernel
+
+
+def _kernel_bytestring(filt: fstring.ByteString) -> Callable[[pa.Array], KernelResult]:
+    inner = _kernel_unicode(filt)
+
+    def kernel(arr: pa.Array) -> KernelResult:
+        res = inner(arr)
+        return KernelResult(res.values.cast(pa.binary()), res.errors)
+
+    return kernel
+
+
+_INT_RE = r'^[+-]?[0-9]+$'
+
+
+def _kernel_int(filt: fnumber.Int) -> Callable[[pa.Array], KernelResult]:
+    scalar_fb = ScalarFallbackKernel(filt)
+
+    def kernel(arr: pa.Array) -> KernelResult:
+        t = arr.type
+        n = len(arr)
+        if pa.types.is_integer(t):
+            return KernelResult(arr.cast(pa.int64()) if t != pa.int64() else arr)
+        if pa.types.is_boolean(t):
+            return KernelResult(arr.cast(pa.int64()))
+        if pa.types.is_floating(t):
+            finite = _as_bool_ndarray(pc.is_finite(arr), n)
+            non_finite = ~finite & _not_null_mask(arr)
+            frac = _as_bool_ndarray(
+                pc.not_equal(pc.subtract(arr, pc.floor(arr)), 0.0), n,
+            ) & ~non_finite
+            errors: List[ErrorEntry] = []
+            if non_finite.any():
+                errors.append((non_finite, fnumber.Decimal.CODE_NON_FINITE, ''))
+            if frac.any():
+                errors.append((frac, filt.CODE_DECIMAL, ''))
+            dead = non_finite | frac
+            safe = pc.if_else(pa.array(~dead), arr, pa.scalar(None, type=t))
+            return KernelResult(safe.cast(pa.int64()), errors)
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            intlike = _as_bool_ndarray(pc.match_substring_regex(arr, _INT_RE), n)
+            rest = ~intlike & _not_null_mask(arr)
+            vec = pc.if_else(pa.array(intlike), arr, pa.scalar(None, type=t))
+            try:
+                out = vec.cast(pa.int64())
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                # Overflowing int64 (huge literals): punt entirely to scalar.
+                return scalar_fb(arr)
+            if rest.any():
+                # Decimal-ish strings ('2.0', '1e3', 'NaN', ...) go through
+                # the scalar filter for exact parity.
+                res = scalar_fb(arr.filter(pa.array(rest)))
+                idx = np.flatnonzero(rest)
+                out_py = out.to_pylist()
+                sub = res.values.to_pylist()
+                for j, i in enumerate(idx):
+                    out_py[i] = sub[j]
+                out = pa.array(out_py, type=pa.int64())
+                errors = []
+                for mask, code, subkey in res.errors:
+                    full = np.zeros(n, dtype=bool)
+                    full[idx[mask]] = True
+                    errors.append((full, code, subkey))
+                return KernelResult(out, errors)
+            return KernelResult(out)
+        return scalar_fb(arr)
+
+    return kernel
+
+
+def _kernel_minmax(filt) -> Callable[[pa.Array], KernelResult]:
+    is_max = isinstance(filt, fnumber.Max)
+    bound = filt.max_value if is_max else filt.min_value
+    exclusive = filt.exclusive
+    code = filt.CODE_TOO_BIG if is_max else filt.CODE_TOO_SMALL
+
+    def kernel(arr: pa.Array) -> KernelResult:
+        n = len(arr)
+        if is_max:
+            cmp = pc.greater_equal(arr, bound) if exclusive else pc.greater(arr, bound)
+        else:
+            cmp = pc.less_equal(arr, bound) if exclusive else pc.less(arr, bound)
+        bad = _as_bool_ndarray(cmp, n)
+        return KernelResult(_nullify(arr, bad), [(bad, code, '')] if bad.any() else [])
+
+    return kernel
+
+
+def _kernel_regex(filt: fstring.Regex) -> Optional[Callable[[pa.Array], KernelResult]]:
+    pattern = filt.regex.pattern
+    if not (isinstance(pattern, str) and pattern.startswith('^') and pattern.endswith('$')):
+        return None  # only fully-anchored patterns vectorize; rest falls back
+
+    def kernel(arr: pa.Array) -> KernelResult:
+        n = len(arr)
+        if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
+            bad = _not_null_mask(arr)
+            out = pa.nulls(n, type=pa.list_(pa.string()))
+            return KernelResult(out, [(bad, fbase.Type.CODE_WRONG_TYPE, '')] if bad.any() else [])
+        try:
+            matched = pc.match_substring_regex(arr, pattern)
+        except pa.ArrowInvalid:
+            return ScalarFallbackKernel(filt)(arr)
+        ok = _as_bool_ndarray(matched, n)
+        bad = ~ok & _not_null_mask(arr)
+        # Anchored pattern ⇒ the single match is the whole string: wrap it.
+        singles = pc.if_else(pa.array(ok), arr, pa.scalar(None, type=arr.type))
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(ok.astype(np.int32), out=offsets[1:])
+        flat = singles.drop_null()
+        wrapped = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), flat)
+        # Null out rows that were null or invalid.
+        keep = pa.array(ok)
+        wrapped = pc.if_else(keep, wrapped, pa.scalar(None, type=wrapped.type))
+        return KernelResult(
+            wrapped,
+            [(bad, filt.CODE_INVALID, '')] if bad.any() else [],
+        )
+
+    return kernel
+
+
+def _kernel_maxbytes(filt: fstring.MaxBytes) -> Callable[[pa.Array], KernelResult]:
+    scalar_fb = ScalarFallbackKernel(filt)
+
+    def kernel(arr: pa.Array) -> KernelResult:
+        n = len(arr)
+        t = arr.type
+        if not (pa.types.is_string(t) or pa.types.is_large_string(t)
+                or pa.types.is_binary(t) or pa.types.is_large_binary(t)):
+            return scalar_fb(arr)
+        if filt.encoding.lower().replace('-', '') != 'utf8':
+            return scalar_fb(arr)
+        coerced, bad_enc = _coerce_to_string(arr, filt.encoding)
+        # The scalar path runs Unicode(encoding) with its default
+        # normalize=True before measuring (reference string.py:316-323).
+        coerced = _normalize_string_array(coerced)
+        as_bytes = coerced.cast(pa.binary())
+        too_long = _as_bool_ndarray(
+            pc.greater(pc.binary_length(as_bytes), filt.max_bytes), n,
+        ) & ~bad_enc
+        errors: List[ErrorEntry] = []
+        if bad_enc.any():
+            errors.append((bad_enc, fstring.Unicode.CODE_DECODE_ERROR, ''))
+        if too_long.any():
+            errors.append((too_long, filt.CODE_TOO_LONG, ''))
+            if filt.truncate:
+                # Truncate only the violating rows (rare) in Python.
+                py = coerced.to_pylist()
+                out_py = as_bytes.to_pylist()
+                for i in np.flatnonzero(too_long):
+                    out_py[i] = filt.truncate_string(
+                        filt.prefix + py[i], filt.max_bytes, filt.encoding,
+                    )
+                for i in np.flatnonzero(bad_enc):
+                    out_py[i] = None
+                return KernelResult(pa.array(out_py, type=pa.binary()), errors)
+            as_bytes = _nullify(as_bytes, too_long | bad_enc)
+            return KernelResult(as_bytes, errors)
+        return KernelResult(_nullify(as_bytes, bad_enc), errors)
+
+    return kernel
+
+
+def _kernel_noop(filt: fsimple.NoOp) -> Callable[[pa.Array], KernelResult]:
+    return lambda arr: KernelResult(arr)
+
+
+# ---------------------------------------------------------------------------
+# scalar fallback
+# ---------------------------------------------------------------------------
+
+
+class _CapturingHandler(fbase.BaseInvalidValueHandler):
+    """Collects (subkey, code) pairs for the row being processed."""
+
+    def __init__(self) -> None:
+        self.entries: List[Tuple[str, str]] = []
+
+    def handle_invalid_value(self, message: str, exc_info: bool, context: dict) -> Any:
+        self.entries.append((context.get('key', ''), context.get('code') or message))
+
+
+def to_arrow_value(value: Any) -> Any:
+    """Normalize scalar filter outputs to Arrow-friendly values."""
+    if isinstance(value, _uuid.UUID):
+        return str(value)
+    if isinstance(value, bytearray):
+        return bytes(value)
+    if isinstance(value, decimal.Decimal):
+        return value
+    return value
+
+
+class ScalarFallbackKernel:
+    """Correct-for-everything kernel: loops the scalar filter over rows.
+
+    Used for filters with no vector implementation (Base64Decode, Uuid,
+    IpAddress, JsonDecode, Datetime, FilterRepeater, ...). Keeps one
+    compiled chain + one capturing handler per kernel instance
+    (single-threaded within a Ray task — reuse is safe, SURVEY.md §3.4).
+    """
+
+    def __init__(self, filt: fbase.BaseFilter, output_type: Optional[pa.DataType] = None) -> None:
+        self._filter = filt
+        self._handler = _CapturingHandler()
+        self._filter.handler = self._handler
+        self._output_type = output_type
+
+    def __call__(self, arr: pa.Array) -> KernelResult:
+        n = len(arr)
+        values = arr.to_pylist()
+        out: list = []
+        row_errors: List[List[Tuple[str, str]]] = []
+        any_error_rows: dict = {}
+        handler = self._handler
+        filt = self._filter
+        for i, value in enumerate(values):
+            handler.entries = []
+            result = filt.apply(value)
+            if handler.entries:
+                for subkey, code in handler.entries:
+                    any_error_rows.setdefault((code, subkey), []).append(i)
+            out.append(to_arrow_value(result))
+        try:
+            out_arr = pa.array(out, type=self._output_type)
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            out_arr = pa.array([None if v is None else str(v) for v in out], type=pa.string())
+        errors: List[ErrorEntry] = []
+        for (code, subkey), rows in any_error_rows.items():
+            mask = np.zeros(n, dtype=bool)
+            mask[rows] = True
+            errors.append((mask, code, subkey))
+        return KernelResult(out_arr, errors)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+_VECTOR_BUILDERS: List[Tuple[type, Callable]] = [
+    (fsimple.NotEmpty, _kernel_not_empty),     # also covers Required (subclass)
+    (fsimple.Empty, _kernel_empty),
+    (fsimple.Optional, _kernel_optional),
+    (fsimple.Length, _kernel_lengths),
+    (fsimple.MaxLength, _kernel_lengths),
+    (fsimple.MinLength, _kernel_lengths),
+    (fsimple.Choice, _kernel_choice),
+    (fsimple.NoOp, _kernel_noop),
+    (fstring.CaseFold, _kernel_casefold),
+    (fstring.Strip, _kernel_strip),
+    (fstring.ByteString, _kernel_bytestring),  # before Unicode (subclass)
+    (fstring.Unicode, _kernel_unicode),
+    (fstring.MaxBytes, _kernel_maxbytes),
+    (fstring.Regex, _kernel_regex),
+    (fnumber.Int, _kernel_int),
+    (fnumber.Max, _kernel_minmax),
+    (fnumber.Min, _kernel_minmax),
+]
+
+
+def make_kernel(filt: fbase.BaseFilter) -> Callable[[pa.Array], KernelResult]:
+    """Pick the best kernel for a filter instance.
+
+    Third-party filters may expose their own vectorization by defining
+    ``apply_column(arr) -> KernelResult`` (the extension surface).
+    """
+    custom = getattr(filt, 'apply_column', None)
+    if callable(custom):
+        return custom
+    for ftype, builder in _VECTOR_BUILDERS:
+        if type(filt) is ftype or (isinstance(filt, ftype) and _exact_subclass_ok(filt, ftype)):
+            kernel = builder(filt)
+            if kernel is not None:
+                return kernel
+    return ScalarFallbackKernel(filt)
+
+
+def _exact_subclass_ok(filt: fbase.BaseFilter, ftype: type) -> bool:
+    """Allow subclass dispatch only for the known-safe cases."""
+    if isinstance(filt, fsimple.Required) and ftype is fsimple.NotEmpty:
+        return True
+    return type(filt) is ftype

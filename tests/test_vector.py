@@ -1,0 +1,143 @@
+"""Scalar-vs-vector parity: ``compiled.apply_column(col)[i] == scalar(col[i])``.
+
+Every chain is applied (a) per value through the scalar FilterRunner and
+(b) once through the compiled column kernel; values and error codes must
+agree row by row (SURVEY.md §5 test plan, step 1).
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+
+import pyarrow as pa
+import pytest
+
+import filters_ray as f
+from filters_ray.vector import compile_chain
+from filters_ray.vector.kernels import to_arrow_value
+
+D = decimal.Decimal
+
+
+def scalar_reference(spec_builder, values):
+    """Row-by-row scalar application → (cleaned list, codes per row)."""
+    cleaned, codes = [], []
+    for value in values:
+        runner = f.FilterRunner(spec_builder(), value)
+        cleaned.append(to_arrow_value(runner.cleaned_data))
+        row_codes = []
+        for key, cs in runner.error_codes.items():
+            for c in cs:
+                row_codes.append((key, c))
+        codes.append(sorted(row_codes))
+    return cleaned, codes
+
+
+def assert_parity(spec_builder, column, type_=None):
+    arr = pa.array(column, type=type_)
+    compiled = compile_chain(spec_builder())
+    out, errors = compiled.apply_column(arr)
+
+    expected_vals, expected_codes = scalar_reference(spec_builder, column)
+
+    got_codes = [sorted(row) for row in errors.codes_per_row()]
+    assert got_codes == expected_codes, (
+        f'error codes differ\n got: {got_codes}\n exp: {expected_codes}'
+    )
+
+    got_vals = out.to_pylist()
+    norm_expected = []
+    for v in expected_vals:
+        norm_expected.append(v)
+    # Arrow converts some types on round-trip — compare loosely but
+    # deterministically.
+    assert len(got_vals) == len(norm_expected)
+    for i, (g, e) in enumerate(zip(got_vals, norm_expected)):
+        if isinstance(e, D) and isinstance(g, (int, float, D)):
+            assert D(str(g)) == e, f'row {i}: {g!r} != {e!r}'
+        else:
+            assert g == e, f'row {i}: {g!r} != {e!r}'
+
+
+STRINGS = ['foo', '', None, '  pad  ', 'BAR', 'a\r\nb', '\x00ctl\x1f', 'é', 'дом', 'x' * 50]
+INTS = [1, 2, None, -5, 0, 1 << 40]
+FLOATS = [1.0, 2.5, None, -3.0, float('nan'), float('inf'), 0.0]
+NUMSTR = ['1', '42', None, '-3', '2.0', '1.5', 'NaN', 'x', '', '+Inf', ' 7']
+
+
+CASES = [
+    ('required_str', lambda: f.Required, STRINGS, None),
+    ('required_int', lambda: f.Required, INTS, None),
+    ('notempty', lambda: f.NotEmpty, STRINGS, None),
+    ('empty', lambda: f.Empty, STRINGS, None),
+    ('empty_int', lambda: f.Empty, INTS, None),
+    ('optional', lambda: f.Optional(default='dflt'), STRINGS, None),
+    ('maxlen', lambda: f.MaxLength(4), STRINGS, None),
+    ('minlen', lambda: f.MinLength(3), STRINGS, None),
+    ('len', lambda: f.Length(3), STRINGS, None),
+    ('maxlen_int', lambda: f.MaxLength(4), INTS, None),
+    ('choice', lambda: f.Choice(choices={'foo', 'BAR'}), STRINGS, None),
+    ('choice_int', lambda: f.Choice(choices={1, 2}), INTS, None),
+    ('casefold', lambda: f.CaseFold, STRINGS, None),
+    ('strip', lambda: f.Strip, STRINGS, None),
+    ('unicode', lambda: f.Unicode, STRINGS, None),
+    ('unicode_int', lambda: f.Unicode, INTS, None),
+    ('unicode_float', lambda: f.Unicode, [1.5, None, -2.25], None),
+    ('unicode_bool', lambda: f.Unicode, [True, False, None], None),
+    ('unicode_bin', lambda: f.Unicode, [b'ok', None, b'\xff\xfe', 'é'.encode()], pa.binary()),
+    ('bytestring', lambda: f.ByteString, STRINGS, None),
+    ('int_str', lambda: f.Int, NUMSTR, None),
+    ('int_int', lambda: f.Int, INTS, None),
+    ('int_float', lambda: f.Int, FLOATS, None),
+    ('min', lambda: f.Min(0), INTS, None),
+    ('max', lambda: f.Max(2), INTS, None),
+    ('max_excl', lambda: f.Max(2, exclusive=True), INTS, None),
+    ('regex_anchored', lambda: f.Regex(r'^[0-9a-f]{3}$'),
+     ['bee', 'xyz', None, '', 'BEE', 'beef'], None),
+    ('regex_findall', lambda: f.Regex(r'\d+'), ['a1b22', 'none', None], None),
+    ('maxbytes', lambda: f.MaxBytes(4), STRINGS, None),
+    ('maxbytes_notrunc', lambda: f.MaxBytes(4, truncate=False), STRINGS, None),
+    ('uuid', lambda: f.Uuid,
+     ['3466c56a-2f7e-4e5b-affa-292cbe84c2fb', 'nope', None, ''], None),
+    ('base64', lambda: f.Base64Decode, [b'aGVsbG8=', b'!!!', None, b'-_-_'], pa.binary()),
+    ('datetime_naive', lambda: f.Datetime(naive=True),
+     ['2015-05-11T14:56:58-05:00', 'nope', None, '2020-01-01'], None),
+    ('chain_cdc_repo', lambda: f.Required | f.Unicode | f.Strip | f.NotEmpty | f.MaxLength(6),
+     STRINGS, None),
+    ('chain_int_max', lambda: f.Int | f.Max(3), NUMSTR, None),
+    ('chain_shortcircuit', lambda: f.MaxLength(3) | f.MinLength(8) | f.Required,
+     STRINGS, None),
+    ('chain_casefold_choice', lambda: f.CaseFold | f.Choice(choices={'foo', 'bar'}),
+     STRINGS, None),
+    ('chain_optional_choice', lambda: f.Unicode | f.Optional('py') | f.Choice(choices={'py', 'rs'}),
+     ['py', 'rs', None, '', 'go'], None),
+]
+
+
+@pytest.mark.parametrize(
+    ('name', 'builder', 'column', 'type_'),
+    CASES,
+    ids=[c[0] for c in CASES],
+)
+def test_vector_parity(name, builder, column, type_):
+    assert_parity(builder, column, type_)
+
+
+def test_compiled_chain_reuse():
+    """One compiled chain instance must be reusable across batches."""
+    compiled = compile_chain(f.Int | f.Max(3))
+    for _ in range(3):
+        out, errors = compiled.apply_column(pa.array(['1', '9', None]))
+        assert out.to_pylist() == [1, None, None]
+        assert errors.codes_per_row() == [[], [('', 'too_big')], []]
+
+
+def test_large_column_fastpath():
+    """Vector path handles a larger column without falling over."""
+    n = 50_000
+    col = pa.array((['ok'] * 9 + ['']) * (n // 10))
+    compiled = compile_chain(f.Required | f.Unicode | f.MaxLength(5))
+    out, errors = compiled.apply_column(col)
+    assert len(out) == n
+    assert errors.row_mask.sum() == n // 10
