@@ -1,0 +1,535 @@
+"""CDC / incremental-ingest pipeline: change log → validated LWW lake upsert.
+
+The north-star pipeline (BASELINE.json ``north_star``), Ray-Data-first:
+
+    read_parquet(events)                               # ordered change log
+      → map_batches(ValidateStage, pyarrow, zero-copy)  # compiled chains
+          # + _part (hash of raw (repo,path) % P) + _raw_lsn columns
+      → groupby('_part').map_groups(upsert_partition)   # THE one shuffle
+          # per partition: watermark drop → clean/DLQ split → LWW merge
+          # with base partition → atomic commit (data + manifest + DLQ)
+      → per-partition summaries (tiny) → run report
+
+Scale design (SURVEY.md §4):
+
+* **Exactly one shuffle** — the hash exchange on ``_part``. The partition
+  key is the *full* ``(repo, path)`` hash, strictly finer than ``repo``:
+  a hot repo's files spread uniformly over partitions, which is the
+  salted-repartition requirement solved structurally. ``num_partitions``
+  is pinned in ``_meta.json`` so every replay reshuffles identically.
+* **Partition-local merge** — the base table is partitioned by the same
+  key, so the LWW merge never joins across partitions.
+* **Exactly-once** — per-partition high-watermark manifests with atomic
+  rename commits (see :mod:`filters_ray.state.manifest`); replayed events
+  with ``lsn <= hwm`` are dropped before merging, so resuming from any
+  checkpoint (or replaying the whole log) reproduces the identical table.
+* **Schema evolution** — additive columns arriving on events (allowed
+  "extra keys", reference complex.py:306-315) widen the partition schema
+  via :func:`filters_ray.state.registry.widen_schema`.
+* **Content bytes preserved** — ``content`` goes through
+  ``ByteString(normalize=False)`` only (no normalizing Unicode), keeping
+  ``sha256(content)`` invariant per ``(repo, path)``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, List, Optional, Union
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..sources.synth import LANGS
+from ..state.manifest import ManifestStore, PartitionManifest, TableMeta
+from ..state.registry import align_table, widen_schema
+from ..stages.validate import (
+    ERRORS_COLUMN,
+    ORIGINAL_COLUMN,
+    RecordValidator,
+)
+
+__all__ = [
+    'CDCPipeline',
+    'RunReport',
+    'cdc_validator_spec',
+    'key_partition',
+]
+
+PART_COLUMN = '_part'
+RAW_LSN_COLUMN = '_raw_lsn'
+
+OPS = {'insert', 'update', 'delete'}
+
+
+def cdc_validator_spec(
+    langs: Optional[Iterable[str]] = None,
+    allow_extra_keys: Union[bool, Iterable[str]] = True,
+) -> dict:
+    """The default CDC validation chain (FIXTURES.md §5)."""
+    import filters_ray as f
+    from ..functions.engine_filters import First, content_required_rule
+
+    lang_choices = set(langs if langs is not None else LANGS) | {''}
+    return {
+        'filter_map': {
+            'lsn': f.Required | f.Int | f.Min(0),
+            'op': f.Required | f.Unicode | f.Choice(choices=OPS),
+            'repo': f.Required | f.Unicode | f.Strip | f.NotEmpty | f.MaxLength(256),
+            'path': f.Required | f.Unicode | f.NotEmpty | f.MaxLength(4096),
+            # Regex returns the list of matches; First unwraps to the str.
+            'commit': f.Required | f.Unicode | f.Regex(r'^[0-9a-f]{40}$') | First(),
+            'lang': f.Unicode | f.Optional('') | f.Choice(choices=lang_choices),
+            # Byte-preserving: sha256(content) equality forbids normalization.
+            'content': f.ByteString(normalize=False),
+        },
+        'allow_missing_keys': False,
+        'allow_extra_keys': allow_extra_keys,
+        'row_rules': [content_required_rule()],
+    }
+
+
+def key_partition(repo: pa.Array, path: pa.Array, num_partitions: int) -> np.ndarray:
+    """Deterministic hash partition of the raw (repo, path) key.
+
+    Uses pandas' SipHash-based ``hash_array`` with its fixed default key —
+    stable across processes and nodes (unlike Python's randomized
+    ``hash``), vectorized in C.
+    """
+    repo_np = np.asarray(repo.to_numpy(zero_copy_only=False), dtype=object)
+    path_np = np.asarray(path.to_numpy(zero_copy_only=False), dtype=object)
+    joined = np.empty(len(repo_np), dtype=object)
+    for i in range(len(repo_np)):  # fast object join; dominated by hashing
+        r = repo_np[i]
+        p = path_np[i]
+        joined[i] = ('' if r is None else r) + '\x00' + ('' if p is None else p)
+    hashed = pd.util.hash_array(joined, categorize=False)
+    return (hashed % np.uint64(num_partitions)).astype(np.int64)
+
+
+class CDCValidateStage:
+    """map_batches callable: validation + partition/raw-lsn assignment.
+
+    Compiles the chain set once per actor (``__init__``), then per batch:
+    computes ``_part`` and ``_raw_lsn`` from the *raw* columns (errored
+    rows must still route deterministically), then validates.
+    """
+
+    def __init__(
+        self,
+        num_partitions: int,
+        langs: Optional[List[str]] = None,
+        allow_extra_keys: Union[bool, List[str]] = True,
+    ) -> None:
+        self.num_partitions = num_partitions
+        self.validator = RecordValidator(
+            **cdc_validator_spec(langs=langs, allow_extra_keys=allow_extra_keys),
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raw_lsn = batch.column('lsn').combine_chunks()
+        if not pa.types.is_integer(raw_lsn.type):
+            raw_lsn = pa.nulls(batch.num_rows, type=pa.int64())
+        elif raw_lsn.type != pa.int64():
+            raw_lsn = raw_lsn.cast(pa.int64())
+
+        out = self.validator.validate_table(batch)
+
+        # Partition on the VALIDATED key (Strip may canonicalize `repo`;
+        # two raw spellings of one key must land in one partition), falling
+        # back to the raw value for rows whose key failed validation (DLQ
+        # rows only need a deterministic home).
+        def merged_key(name: str) -> pa.Array:
+            validated = out.column(name).combine_chunks()
+            raw = batch.column(name).combine_chunks()
+            if not pa.types.is_string(raw.type):
+                raw = pa.nulls(batch.num_rows, type=pa.string())
+            return pc.coalesce(validated, raw)
+
+        parts = key_partition(
+            merged_key('repo'), merged_key('path'), self.num_partitions,
+        )
+        out = out.append_column(PART_COLUMN, pa.array(parts, type=pa.int64()))
+        out = out.append_column(RAW_LSN_COLUMN, raw_lsn)
+        return out
+
+
+@dataclass
+class RunReport:
+    events_seen: int = 0
+    events_applied: int = 0
+    events_skipped: int = 0
+    rejected_by_code: Dict[str, int] = field(default_factory=dict)
+    partitions: int = 0
+    lake_rows: int = 0
+
+    def merge_row(self, row: dict) -> None:
+        self.events_seen += row['events_seen']
+        self.events_applied += row['events_applied']
+        self.events_skipped += row['events_skipped']
+        for code, cnt in json.loads(row['rejected_by_code']).items():
+            self.rejected_by_code[code] = self.rejected_by_code.get(code, 0) + cnt
+        self.partitions += 1
+        self.lake_rows += row['lake_rows']
+
+
+# ---------------------------------------------------------------------------
+# partition upsert (runs inside the post-shuffle task)
+# ---------------------------------------------------------------------------
+
+
+_SUMMARY_SCHEMA = {
+    'partition_id': pa.int64(),
+    'events_seen': pa.int64(),
+    'events_applied': pa.int64(),
+    'events_skipped': pa.int64(),
+    'lake_rows': pa.int64(),
+    'rejected_by_code': pa.string(),
+}
+
+
+def _summary_row(pid, seen, applied, skipped, lake_rows, rejected) -> pa.Table:
+    return pa.table({
+        'partition_id': pa.array([pid], type=pa.int64()),
+        'events_seen': pa.array([seen], type=pa.int64()),
+        'events_applied': pa.array([applied], type=pa.int64()),
+        'events_skipped': pa.array([skipped], type=pa.int64()),
+        'lake_rows': pa.array([lake_rows], type=pa.int64()),
+        'rejected_by_code': pa.array([json.dumps(rejected, sort_keys=True)]),
+    })
+
+
+def _dlq_counts(table: pa.Table) -> Dict[str, int]:
+    counts: Dict[str, int] = {}
+    for entry in table.column(ERRORS_COLUMN).to_pylist():
+        for err in entry:
+            counts[err['code']] = counts.get(err['code'], 0) + 1
+    return counts
+
+
+def _dedup_by_lsn(table: pa.Table) -> pa.Table:
+    """Keep the first row per raw lsn (null-lsn rows all kept)."""
+    lsns = table.column(RAW_LSN_COLUMN).to_pylist()
+    seen: set = set()
+    keep = np.ones(len(lsns), dtype=bool)
+    for i, lsn in enumerate(lsns):
+        if lsn is None:
+            continue
+        if lsn in seen:
+            keep[i] = False
+        else:
+            seen.add(lsn)
+    if keep.all():
+        return table
+    return table.filter(pa.array(keep))
+
+
+def _aggregate_dlq_counts(dlq_dir: str) -> Dict[str, int]:
+    """Sum rejection codes over all DLQ files, once per unique event lsn."""
+    counts: Dict[str, int] = {}
+    if not os.path.isdir(dlq_dir):
+        return counts
+    seen: set = set()
+    for name in sorted(os.listdir(dlq_dir)):
+        if not name.endswith('.parquet'):
+            continue
+        t = pq.read_table(
+            os.path.join(dlq_dir, name), columns=[ERRORS_COLUMN, RAW_LSN_COLUMN],
+        )
+        lsns = t.column(RAW_LSN_COLUMN).to_pylist()
+        entries = t.column(ERRORS_COLUMN).to_pylist()
+        for lsn, entry in zip(lsns, entries):
+            if lsn is not None:
+                if lsn in seen:
+                    continue
+                seen.add(lsn)
+            for err in entry:
+                counts[err['code']] = counts.get(err['code'], 0) + 1
+    return counts
+
+
+def _canonical_digest(table: pa.Table) -> str:
+    """Deterministic digest over the canonical (sorted) partition rows."""
+    h = hashlib.sha256()
+    if table.num_rows:
+        repo = table.column('repo').to_pylist()
+        path = table.column('path').to_pylist()
+        content = table.column('content').to_pylist()
+        lsn = table.column('last_lsn').to_pylist()
+        for r, p, c, l in zip(repo, path, content, lsn):
+            h.update(r.encode())
+            h.update(b'\x00')
+            h.update(p.encode())
+            h.update(b'\x00')
+            h.update(c if isinstance(c, bytes) else (c or '').encode())
+            h.update(str(l).encode())
+            h.update(b'\x01')
+    return h.hexdigest()
+
+
+def _last_writer_wins(table: pa.Table) -> pa.Table:
+    """Sort by (repo, path, last_lsn) and keep the last row per key."""
+    if table.num_rows == 0:
+        return table
+    table = table.sort_by([
+        ('repo', 'ascending'), ('path', 'ascending'), ('last_lsn', 'ascending'),
+    ])
+    repo = np.asarray(table.column('repo').to_numpy(zero_copy_only=False), dtype=object)
+    path = np.asarray(table.column('path').to_numpy(zero_copy_only=False), dtype=object)
+    n = len(repo)
+    is_last = np.ones(n, dtype=bool)
+    same_as_next = (repo[:-1] == repo[1:]) & (path[:-1] == path[1:])
+    is_last[:-1] = ~same_as_next
+    return table.filter(pa.array(is_last))
+
+
+def make_upsert_fn(lake_root: str):
+    """Build the per-partition map_groups function (closure: picklable)."""
+
+    def upsert_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({k: pa.array([], type=v) for k, v in _SUMMARY_SCHEMA.items()})
+        store = ManifestStore(lake_root)
+        pid = int(group.column(PART_COLUMN)[0].as_py())
+        prev = store.read_manifest(pid)
+        hwm = prev.hwm_lsn if prev else -1
+
+        seen = group.num_rows
+
+        # 1. Watermark drop: already-applied events (duplicate delivery /
+        #    replay overlap). The raw LSN is the event identity (globally
+        #    unique — FIXTURES.md §2). Corrupt LSNs (null / negative) are
+        #    unwatermarkable: they always pass here and are deduplicated at
+        #    DLQ-count time instead (they can never reach the lake — the
+        #    lsn chain rejects them).
+        raw_lsn = group.column(RAW_LSN_COLUMN)
+        fresh_mask = pc.fill_null(
+            pc.or_(pc.greater(raw_lsn, hwm), pc.less(raw_lsn, 0)), True,
+        )
+        fresh = group.filter(fresh_mask)
+        skipped = seen - fresh.num_rows
+
+        # 2. Clean / DLQ split.
+        has_errors = pc.greater(
+            pc.list_value_length(fresh.column(ERRORS_COLUMN)), 0,
+        )
+        clean = fresh.filter(pc.invert(has_errors))
+        dlq = fresh.filter(has_errors)
+
+        # 3. DLQ write — range-keyed file, deterministic per replay window.
+        #    Dedup deliveries by event identity (raw lsn) first: a
+        #    re-delivered invalid event is one rejection, not two.
+        if dlq.num_rows:
+            dlq = _dedup_by_lsn(dlq)
+            lsns = [v for v in dlq.column(RAW_LSN_COLUMN).to_pylist() if v is not None]
+            lo = min(lsns) if lsns else 0
+            hi = max(lsns) if lsns else 0
+            dlq_dir = os.path.dirname(store.dlq_path(pid))
+            os.makedirs(dlq_dir, exist_ok=True)
+            dlq_out = dlq.select([ORIGINAL_COLUMN, ERRORS_COLUMN, RAW_LSN_COLUMN])
+            dlq_out = dlq_out.sort_by([(RAW_LSN_COLUMN, 'ascending')])
+            final = os.path.join(dlq_dir, f'dlq-{lo}-{hi}.parquet')
+            tmp = final + '.tmp'
+            pq.write_table(dlq_out, tmp)
+            os.replace(tmp, final)
+
+        # Aggregate DLQ counts over all range files, deduplicated by event
+        # identity — replaying a window re-writes overlapping files but
+        # each unique lsn counts once.
+        rejected_total = _aggregate_dlq_counts(
+            os.path.dirname(store.dlq_path(pid)),
+        )
+
+        # 4. LWW merge against the base partition.
+        applied = clean.num_rows
+        incoming = clean.drop_columns([
+            c for c in (ERRORS_COLUMN, ORIGINAL_COLUMN, PART_COLUMN, RAW_LSN_COLUMN)
+            if c in clean.column_names
+        ])
+        incoming = incoming.rename_columns([
+            'last_lsn' if c == 'lsn' else c for c in incoming.column_names
+        ])
+
+        base: Optional[pa.Table] = None
+        if os.path.exists(store.data_path(pid)):
+            base = pq.read_table(store.data_path(pid))
+
+        if base is not None:
+            # Base rows act as op=NULL records at their stored last_lsn.
+            base_schema = base.schema
+            if 'op' not in base.column_names:
+                base = base.append_column('op', pa.nulls(base.num_rows, type=pa.string()))
+            inc_schema = incoming.schema
+            merged_schema, _ = widen_schema(base.schema, inc_schema)
+            both = pa.concat_tables([
+                align_table(base, merged_schema),
+                align_table(incoming, merged_schema),
+            ])
+        else:
+            both = incoming
+
+        latest = _last_writer_wins(both)
+        # Deletes (and base tombstones) drop out of the final state.
+        alive = latest.filter(
+            pc.or_kleene(
+                pc.is_null(latest.column('op')),
+                pc.not_equal(latest.column('op'), pa.scalar('delete')),
+            ),
+        )
+        # Canonical order within the partition file.
+        alive = alive.sort_by([('repo', 'ascending'), ('path', 'ascending')])
+        # Tombstone rows fully applied: final table keeps op of last writer
+        # for lineage; drop nothing else.
+
+        new_hwm = hwm
+        valid_lsns = pc.drop_null(fresh.column(RAW_LSN_COLUMN))
+        if len(valid_lsns):
+            new_hwm = max(new_hwm, pc.max(valid_lsns).as_py())
+
+        # 5. Commit: data + manifest, atomically.
+        tmp_data = None
+        if alive.num_rows:
+            tmp_data = store.tmp_path(pid)
+            pq.write_table(alive, tmp_data)
+        nbytes = alive.nbytes if alive.num_rows else 0
+        manifest = PartitionManifest(
+            partition_id=pid,
+            hwm_lsn=int(new_hwm),
+            rows=alive.num_rows,
+            bytes=int(nbytes),
+            sha256=_canonical_digest(alive),
+            rejected_by_code=rejected_total,
+            events_applied=int(applied),
+            events_skipped=int(skipped),
+        )
+        store.commit_partition(manifest, tmp_data)
+
+        return _summary_row(
+            pid, seen, applied, skipped, alive.num_rows, rejected_total,
+        )
+
+    return upsert_partition
+
+
+# ---------------------------------------------------------------------------
+# pipeline façade
+# ---------------------------------------------------------------------------
+
+
+class CDCPipeline:
+    """End-to-end CDC ingest over a Ray Data pipeline.
+
+    :param lake_root: lake table directory (manifests + partitions live here)
+    :param num_partitions: hash-partition count — FIXED for the lake's
+        lifetime (recorded in ``_meta.json``; replay must reshuffle
+        identically). Size it to cluster-cores × small factor; at the
+        10^10-event design point use 1024-4096.
+    """
+
+    def __init__(
+        self,
+        lake_root: str,
+        num_partitions: int = 32,
+        langs: Optional[List[str]] = None,
+        allow_extra_keys: Union[bool, List[str]] = True,
+        batch_size: int = 8192,
+        validate_concurrency: Optional[int] = None,
+    ) -> None:
+        self.lake_root = lake_root
+        self.langs = list(langs) if langs is not None else None
+        self.allow_extra_keys = allow_extra_keys
+        self.batch_size = batch_size
+        self.validate_concurrency = validate_concurrency
+
+        store = ManifestStore(lake_root)
+        meta = store.read_meta()
+        if meta is None:
+            meta = TableMeta(num_partitions=num_partitions)
+            store.write_meta(meta)
+        elif meta.num_partitions != num_partitions:
+            # The pinned partition count wins — replay determinism.
+            num_partitions = meta.num_partitions
+        self.num_partitions = num_partitions
+        self.store = store
+
+    # -- execution -------------------------------------------------------
+
+    def run(self, events) -> RunReport:
+        """Ingest an event Dataset / parquet path; returns the run report."""
+        import ray.data as rd
+
+        if isinstance(events, str):
+            events = rd.read_parquet(events)
+
+        num_partitions = self.num_partitions
+        langs = self.langs
+        allow_extra = self.allow_extra_keys
+
+        concurrency = self.validate_concurrency
+        if concurrency is None:
+            # Autoscaling actor pool up to the cluster's CPU count; the
+            # shuffle + upsert stages share the same CPUs, so leave the
+            # scheduler room to balance (streaming backpressure).
+            import ray
+            cpus = int(ray.cluster_resources().get('CPU', 4))
+            concurrency = (1, max(2, cpus))
+
+        validated = events.map_batches(
+            CDCValidateStage,
+            fn_constructor_kwargs={
+                'num_partitions': num_partitions,
+                'langs': langs,
+                'allow_extra_keys': allow_extra,
+            },
+            batch_format='pyarrow',
+            batch_size=self.batch_size,
+            zero_copy_batch=True,
+            concurrency=concurrency,
+        )
+
+        summaries = validated.groupby(PART_COLUMN).map_groups(
+            make_upsert_fn(self.lake_root),
+            batch_format='pyarrow',
+        )
+
+        report = RunReport()
+        for row in summaries.take_all():
+            report.merge_row(row)
+        return report
+
+    # -- inspection (small results; test/driver use) ---------------------
+
+    def final_table(self) -> pa.Table:
+        """Read the whole lake (tests / small scales only)."""
+        tables = []
+        for pid in range(self.num_partitions):
+            path = self.store.data_path(pid)
+            if os.path.exists(path):
+                tables.append(pq.read_table(path))
+        if not tables:
+            return pa.table({})
+        schema = tables[0].schema
+        for t in tables[1:]:
+            schema, _ = widen_schema(schema, t.schema)
+        return pa.concat_tables([align_table(t, schema) for t in tables]).sort_by(
+            [('repo', 'ascending'), ('path', 'ascending')],
+        )
+
+    def rejection_counts(self) -> Dict[str, int]:
+        counts: Dict[str, int] = {}
+        for manifest in self.store.all_manifests().values():
+            for code, cnt in manifest.rejected_by_code.items():
+                counts[code] = counts.get(code, 0) + cnt
+        return counts
+
+    def lineage(self) -> List[dict]:
+        """Per-partition lineage/metrics records."""
+        from dataclasses import asdict
+        return [
+            asdict(m) for _, m in sorted(self.store.all_manifests().items())
+        ]

@@ -1,0 +1,145 @@
+"""Per-partition high-watermark manifests — the exactly-once sink protocol.
+
+Layout (design point: 10^10 events, fixed partition count P recorded in the
+table-level meta so replay reshuffles identically — SURVEY.md §4)::
+
+    <lake_root>/
+      _meta.json                      # num_partitions, key columns, created
+      part=<p>/
+        data.parquet                  # canonical rows, sorted by (repo, path)
+        manifest.json                 # hwm_lsn, rows, bytes, sha256, counts
+      _dlq/part=<p>/dlq.parquet       # dead-letter rows for partition p
+
+Commit protocol (idempotent under task retry):
+
+1. write ``data.parquet.tmp-<nonce>`` + ``manifest.json.tmp-<nonce>``
+2. ``os.replace`` data, then manifest (atomic on POSIX)
+
+A partition is committed iff its ``manifest.json`` exists; a crashed task
+leaves only tmp files, and a retried/resumed task overwrites them. On
+resume, events with ``lsn <= hwm_lsn`` are dropped before merging, so
+replaying any suffix (or the whole log) reproduces the identical table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import asdict, dataclass, field
+from typing import Dict, Optional
+
+__all__ = ['PartitionManifest', 'TableMeta', 'ManifestStore']
+
+
+@dataclass
+class PartitionManifest:
+    partition_id: int
+    hwm_lsn: int            # highest LSN applied into this partition
+    rows: int
+    bytes: int
+    sha256: str             # digest over the canonical row encoding
+    rejected_by_code: Dict[str, int] = field(default_factory=dict)
+    events_applied: int = 0
+    events_skipped: int = 0  # duplicates / below-watermark drops
+
+
+@dataclass
+class TableMeta:
+    num_partitions: int
+    key_columns: tuple = ('repo', 'path')
+    lsn_column: str = 'lsn'
+    version: int = 1
+
+
+class ManifestStore:
+    """Filesystem-backed manifest store for one lake table."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- table meta ------------------------------------------------------
+
+    def meta_path(self) -> str:
+        return os.path.join(self.root, '_meta.json')
+
+    def write_meta(self, meta: TableMeta) -> None:
+        payload = asdict(meta)
+        payload['key_columns'] = list(meta.key_columns)
+        _atomic_write_json(self.meta_path(), payload)
+
+    def read_meta(self) -> Optional[TableMeta]:
+        try:
+            with open(self.meta_path()) as fh:
+                payload = json.load(fh)
+        except FileNotFoundError:
+            return None
+        payload['key_columns'] = tuple(payload['key_columns'])
+        return TableMeta(**payload)
+
+    # -- partitions ------------------------------------------------------
+
+    def partition_dir(self, pid: int) -> str:
+        return os.path.join(self.root, f'part={pid}')
+
+    def data_path(self, pid: int) -> str:
+        return os.path.join(self.partition_dir(pid), 'data.parquet')
+
+    def manifest_path(self, pid: int) -> str:
+        return os.path.join(self.partition_dir(pid), 'manifest.json')
+
+    def dlq_path(self, pid: int) -> str:
+        return os.path.join(self.root, '_dlq', f'part={pid}', 'dlq.parquet')
+
+    def read_manifest(self, pid: int) -> Optional[PartitionManifest]:
+        try:
+            with open(self.manifest_path(pid)) as fh:
+                return PartitionManifest(**json.load(fh))
+        except FileNotFoundError:
+            return None
+
+    def high_watermark(self, pid: int) -> int:
+        manifest = self.read_manifest(pid)
+        return manifest.hwm_lsn if manifest else -1
+
+    def commit_partition(
+        self,
+        manifest: PartitionManifest,
+        tmp_data_path: Optional[str],
+    ) -> None:
+        """Atomically publish a partition: data first, then manifest."""
+        pid = manifest.partition_id
+        os.makedirs(self.partition_dir(pid), exist_ok=True)
+        if tmp_data_path is not None:
+            os.replace(tmp_data_path, self.data_path(pid))
+        elif os.path.exists(self.data_path(pid)):
+            # Partition became empty (all rows deleted): remove stale data.
+            os.remove(self.data_path(pid))
+        _atomic_write_json(self.manifest_path(pid), asdict(manifest))
+
+    def tmp_path(self, pid: int, kind: str = 'data') -> str:
+        os.makedirs(self.partition_dir(pid), exist_ok=True)
+        return os.path.join(
+            self.partition_dir(pid), f'{kind}.parquet.tmp-{uuid.uuid4().hex[:8]}',
+        )
+
+    def all_manifests(self) -> Dict[int, PartitionManifest]:
+        out: Dict[int, PartitionManifest] = {}
+        meta = self.read_meta()
+        if meta is None:
+            return out
+        for pid in range(meta.num_partitions):
+            manifest = self.read_manifest(pid)
+            if manifest is not None:
+                out[pid] = manifest
+        return out
+
+
+def _atomic_write_json(path: str, payload: dict) -> None:
+    tmp = f'{path}.tmp-{uuid.uuid4().hex[:8]}'
+    with open(tmp, 'w') as fh:
+        json.dump(payload, fh, sort_keys=True)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
