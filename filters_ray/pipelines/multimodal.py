@@ -1,0 +1,179 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Images/audio/video travel as ``binary`` columns with metadata columns
+(``media_type``, dims/duration). Decode / feature-extract / resize /
+frame-sample are actor-pool `map_batches` stages: library handles load in
+``__init__`` (once per actor), small ``batch_size`` because payload rows
+are wide (the memory-aware rule: batch_bytes × concurrency must fit the
+worker heap).
+
+The decode kernels themselves are STUBBED in this container (no
+PIL/ffmpeg): with ``strict=True`` they raise ``NotImplementedError``;
+with the default deterministic-fake mode they derive stable
+pseudo-features from the payload hash so the Ray-side plumbing — schema,
+batch sizing, actor signature, output layout — is real and tested
+end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = [
+    'DecodeImageStage',
+    'AudioFeatureStage',
+    'VideoFrameSampleStage',
+    'media_table_schema',
+]
+
+
+def media_table_schema() -> pa.Schema:
+    """Canonical multimodal table schema."""
+    return pa.schema([
+        ('media_id', pa.int64()),
+        ('media_type', pa.string()),       # 'image' | 'audio' | 'video'
+        ('payload', pa.large_binary()),    # opaque encoded bytes
+        ('width', pa.int32()),
+        ('height', pa.int32()),
+        ('duration_ms', pa.int32()),
+    ])
+
+
+def _try_import(name: str):
+    try:
+        return __import__(name)
+    except ImportError:
+        return None
+
+
+def _stable_floats(payload: bytes, n: int) -> np.ndarray:
+    """Deterministic pseudo-features from the payload digest (fake mode)."""
+    digest = hashlib.sha256(payload or b'').digest()
+    seed = int.from_bytes(digest[:8], 'little') % (2**32)
+    rng = np.random.RandomState(seed)
+    return rng.rand(n).astype(np.float32)
+
+
+class DecodeImageStage:
+    """payload → decoded dims + embedding-ish feature vector.
+
+    Real path: PIL decode + resize + channel-mean features.
+    STUB path (this container): deterministic fake features; decode step
+    marked clearly. ``strict=True`` raises NotImplementedError instead.
+    """
+
+    FEATURE_DIM = 64
+
+    def __init__(self, target_size: int = 224, strict: bool = False) -> None:
+        self.target_size = target_size
+        self.strict = strict
+        self._pil = _try_import('PIL.Image')
+
+    def _decode(self, payload: bytes):
+        if self._pil is not None:
+            import io
+
+            from PIL import Image
+            img = Image.open(io.BytesIO(payload)).convert('RGB')
+            img = img.resize((self.target_size, self.target_size))
+            arr = np.asarray(img, dtype=np.float32) / 255.0
+            # Block-mean features over an 8x8 grid, one channel.
+            g = arr.mean(axis=2)
+            blocks = g.reshape(8, self.target_size // 8, 8, self.target_size // 8)
+            return arr.shape[1], arr.shape[0], blocks.mean(axis=(1, 3)).ravel()
+        if self.strict:
+            raise NotImplementedError(
+                'image decode requires PIL, which is not in this container; '
+                'run with strict=False for the deterministic fake path'
+            )
+        # STUB: deterministic fake decode.
+        feats = _stable_floats(payload, self.FEATURE_DIM)
+        return self.target_size, self.target_size, feats
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column('payload').to_pylist()
+        widths, heights, features = [], [], []
+        for payload in payloads:
+            w, h, f = self._decode(payload or b'')
+            widths.append(w)
+            heights.append(h)
+            features.append(np.asarray(f, dtype=np.float32)[: self.FEATURE_DIM])
+        out = batch.drop_columns(['payload'])  # decoded: drop the heavy bytes
+        out = out.append_column('decoded_width', pa.array(widths, type=pa.int32()))
+        out = out.append_column('decoded_height', pa.array(heights, type=pa.int32()))
+        out = out.append_column(
+            'features',
+            pa.array([f.tolist() for f in features], type=pa.list_(pa.float32())),
+        )
+        return out
+
+
+class AudioFeatureStage:
+    """payload → fixed-size spectral-ish feature vector (stubbed decode)."""
+
+    FEATURE_DIM = 32
+
+    def __init__(self, sample_rate: int = 16_000, strict: bool = False) -> None:
+        self.sample_rate = sample_rate
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError(
+                'audio decode requires an audio lib not in this container',
+            )
+        payloads = batch.column('payload').to_pylist()
+        feats = [
+            _stable_floats(p or b'', self.FEATURE_DIM).tolist() for p in payloads
+        ]
+        out = batch.drop_columns(['payload'])
+        return out.append_column(
+            'audio_features', pa.array(feats, type=pa.list_(pa.float32())),
+        )
+
+
+class VideoFrameSampleStage:
+    """payload → N sampled frame digests (stubbed decode).
+
+    Real implementation would seek ``num_frames`` evenly-spaced frames;
+    the stub derives one digest per sampled frame index so downstream
+    stages (frame dedup, per-frame features) exercise the true layout:
+    one output row per (video, frame).
+    """
+
+    def __init__(self, num_frames: int = 4, strict: bool = False) -> None:
+        self.num_frames = num_frames
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError(
+                'video decode requires ffmpeg, which is not in this container',
+            )
+        ids = batch.column('media_id').to_pylist()
+        payloads = batch.column('payload').to_pylist()
+        durations = (
+            batch.column('duration_ms').to_pylist()
+            if 'duration_ms' in batch.column_names else [0] * len(ids)
+        )
+        out_id, out_frame, out_ts, out_digest = [], [], [], []
+        for mid, payload, dur in zip(ids, payloads, durations):
+            for fi in range(self.num_frames):
+                ts = int((dur or 0) * fi / max(1, self.num_frames - 1))
+                digest = hashlib.sha256(
+                    (payload or b'') + fi.to_bytes(4, 'little'),
+                ).hexdigest()[:16]
+                out_id.append(mid)
+                out_frame.append(fi)
+                out_ts.append(ts)
+                out_digest.append(digest)
+        return pa.table({
+            'media_id': pa.array(out_id, type=pa.int64()),
+            'frame': pa.array(out_frame, type=pa.int32()),
+            'ts_ms': pa.array(out_ts, type=pa.int32()),
+            'frame_digest': pa.array(out_digest, type=pa.string()),
+        })

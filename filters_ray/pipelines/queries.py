@@ -1,0 +1,766 @@
+"""The engine's query surface: named pipelines + DuckDB oracle SQL.
+
+Each entry pairs a Ray Data implementation (callable ``sf_dir -> Dataset |
+pandas.DataFrame | pyarrow.Table``) with the equivalent ANSI SQL (or
+``None`` for non-SQL-expressible ops → the driver records a rows-only
+check). Column names match between both sides (the driver hash-compares
+after sorting columns by name).
+
+Float aggregates are rounded to 4 decimals on BOTH sides so parallel
+summation order cannot flip the value hash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ['QUERIES', 'ray_queries', 'oracle_sqls']
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(f'{sf_dir}/{table}.parquet', columns=columns)
+
+
+def _round4(x):
+    # np.round produces the double nearest the 4-decimal value (matching
+    # DuckDB's round); pyarrow's pc.round does not for large magnitudes.
+    vals = np.asarray(
+        x.to_numpy(zero_copy_only=False) if hasattr(x, 'to_numpy') else x,
+        dtype=np.float64,
+    )
+    return pa.array(np.round(vals, 4))
+
+
+# ---------------------------------------------------------------------------
+# relational / TPC-H-ish
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style grouped aggregate with derived revenue columns.
+
+    Pre-aggregation happens inside map_batches (partial sums per batch)
+    before the small groupby — the aggregation-at-scale pattern.
+    """
+    ds = _read(sf_dir, 'lineitem', columns=[
+        'l_returnflag', 'l_linestatus', 'l_quantity', 'l_extendedprice',
+        'l_discount',
+    ])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            batch.column('l_extendedprice'),
+            pc.subtract(pa.scalar(1.0), batch.column('l_discount')),
+        )
+        batch = batch.append_column('disc_price', disc_price)
+        df = batch.to_pandas()
+        grouped = df.groupby(['l_returnflag', 'l_linestatus'], as_index=False).agg(
+            sum_qty=('l_quantity', 'sum'),
+            sum_base_price=('l_extendedprice', 'sum'),
+            sum_disc_price=('disc_price', 'sum'),
+            count_order=('l_quantity', 'size'),
+        )
+        return pa.Table.from_pandas(grouped, preserve_index=False)
+
+    from ray.data.aggregate import Count, Sum
+
+    partials = ds.map_batches(partial, batch_format='pyarrow')
+    out = partials.groupby(['l_returnflag', 'l_linestatus']).aggregate(
+        Sum('sum_qty', alias_name='sum_qty'),
+        Sum('sum_base_price', alias_name='sum_base_price'),
+        Sum('sum_disc_price', alias_name='sum_disc_price'),
+        Sum('count_order', alias_name='count_order'),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        avg_qty = pc.divide(batch.column('sum_qty'),
+                            pc.cast(batch.column('count_order'), pa.float64()))
+        return pa.table({
+            'l_returnflag': batch.column('l_returnflag'),
+            'l_linestatus': batch.column('l_linestatus'),
+            'sum_qty': _round4(batch.column('sum_qty')),
+            'sum_base_price': _round4(batch.column('sum_base_price')),
+            'sum_disc_price': _round4(batch.column('sum_disc_price')),
+            'avg_qty': _round4(avg_qty),
+            'count_order': batch.column('count_order'),
+        })
+
+    return out.map_batches(finish, batch_format='pyarrow')
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4)                          AS sum_qty,
+       round(sum(l_extendedprice), 4)                     AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4)  AS sum_disc_price,
+       round(sum(l_quantity) / count(*), 4)               AS avg_qty,
+       count(*)                                           AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def orders_by_nation(sf_dir: str):
+    """Broadcast hash join: customer(+nation names) broadcast into orders.
+
+    The small side is collected once and shipped via ray.put; the big
+    side streams — no shuffle join.
+    """
+    import ray
+
+    cust = _read(sf_dir, 'customer', columns=['c_custkey', 'c_nationkey']).to_pandas()
+    nation = _read(sf_dir, 'nation', columns=['n_nationkey', 'n_name']).to_pandas()
+    cust = cust.merge(nation, left_on='c_nationkey', right_on='n_nationkey')
+    lookup_ref = ray.put(dict(zip(cust['c_custkey'], cust['n_name'])))
+
+    orders = _read(sf_dir, 'orders', columns=['o_custkey', 'o_totalprice'])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        keys = batch.column('o_custkey').to_pylist()
+        names = [lookup.get(k) for k in keys]
+        return batch.append_column('n_name', pa.array(names, type=pa.string()))
+
+    from ray.data.aggregate import Count, Sum
+
+    tagged = orders.map_batches(tag, batch_format='pyarrow')
+    out = tagged.groupby('n_name').aggregate(
+        Count(alias_name='n_orders'),
+        Sum('o_totalprice', alias_name='total_price'),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            'n_name': batch.column('n_name'),
+            'n_orders': batch.column('n_orders'),
+            'total_price': _round4(batch.column('total_price')),
+        })
+
+    return out.map_batches(finish, batch_format='pyarrow')
+
+
+ORDERS_BY_NATION_SQL = """
+SELECT n.n_name,
+       count(*) AS n_orders,
+       round(sum(o.o_totalprice), 4) AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+def top10_orders_by_revenue(sf_dir: str):
+    """Grouped revenue + global top-k with deterministic tie-break."""
+    ds = _read(sf_dir, 'lineitem', columns=[
+        'l_orderkey', 'l_extendedprice', 'l_discount',
+    ])
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column('l_extendedprice'),
+            pc.subtract(pa.scalar(1.0), batch.column('l_discount')),
+        )
+        return pa.table({
+            'l_orderkey': batch.column('l_orderkey'),
+            'revenue': rev,
+        })
+
+    from ray.data.aggregate import Sum
+
+    grouped = (
+        ds.map_batches(revenue, batch_format='pyarrow')
+        .groupby('l_orderkey')
+        .aggregate(Sum('revenue', alias_name='revenue'))
+    )
+    top = grouped.sort(
+        ['revenue', 'l_orderkey'], descending=[True, False],
+    ).limit(10)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            'l_orderkey': batch.column('l_orderkey'),
+            'revenue': _round4(batch.column('revenue')),
+        })
+
+    return top.map_batches(finish, batch_format='pyarrow')
+
+
+TOP10_ORDERS_SQL = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+GROUP BY l_orderkey
+ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def nation_region_join(sf_dir: str):
+    """Small-small join (both sides tiny → pandas merge in one task)."""
+    nation = _read(sf_dir, 'nation').to_pandas()
+    region = _read(sf_dir, 'region').to_pandas()
+    out = nation.merge(
+        region, left_on='n_regionkey', right_on='r_regionkey',
+    )[['n_nationkey', 'n_name', 'r_name']]
+    return out.sort_values('n_nationkey').reset_index(drop=True)
+
+
+NATION_REGION_SQL = """
+SELECT n_nationkey, n_name, r_name
+FROM nation JOIN region ON n_regionkey = r_regionkey
+ORDER BY n_nationkey
+"""
+
+
+def orders_status_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, 'orders', columns=['o_orderstatus'])
+    return ds.groupby('o_orderstatus').aggregate(Count(alias_name='n'))
+
+
+ORDERS_STATUS_SQL = """
+SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus
+"""
+
+
+def parts_by_brand_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = _read(sf_dir, 'part', columns=['p_brand', 'p_size', 'p_retailprice'])
+    out = ds.groupby('p_brand').aggregate(
+        Count(alias_name='n_parts'),
+        Min('p_size', alias_name='min_size'),
+        Max('p_size', alias_name='max_size'),
+    )
+    return out
+
+
+PARTS_BY_BRAND_SQL = """
+SELECT p_brand, count(*) AS n_parts, min(p_size) AS min_size,
+       max(p_size) AS max_size
+FROM part GROUP BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# CDC-shaped queries over the driver's `events` table
+# ---------------------------------------------------------------------------
+
+
+def events_lww_state(sf_dir: str):
+    """Last-writer-wins state per user: the CDC merge rule expressed over
+    the generic events stream (key=user_id, lsn=event_id)."""
+    ds = _read(sf_dir, 'events', columns=[
+        'event_id', 'user_id', 'event_type', 'value',
+    ])
+
+    def last_per_user(group: pd.DataFrame) -> pd.DataFrame:
+        last = group.sort_values('event_id').iloc[-1:]
+        return pd.DataFrame({
+            'user_id': last['user_id'].values,
+            'last_event_id': last['event_id'].values,
+            'last_event_type': last['event_type'].values,
+            'last_value': np.round(last['value'].values, 4),
+        })
+
+    return ds.groupby('user_id').map_groups(last_per_user, batch_format='pandas')
+
+
+EVENTS_LWW_SQL = """
+SELECT user_id,
+       event_id   AS last_event_id,
+       event_type AS last_event_type,
+       round(value, 4) AS last_value
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1
+"""
+
+
+def events_hourly_window(sf_dir: str):
+    """Tumbling 1-hour window per user: count + rounded mean value.
+
+    Windowing = vectorized bucket column + grouped aggregate (the
+    streaming-shaped pattern: partition by key, bucket by time)."""
+    ds = _read(sf_dir, 'events', columns=['user_id', 'ts', 'value'])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column('ts'), unit='hour')
+        return pa.table({
+            'user_id': batch.column('user_id'),
+            'hour': hour,
+            'value': batch.column('value'),
+        })
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.map_batches(bucket, batch_format='pyarrow')
+        .groupby(['user_id', 'hour'])
+        .aggregate(Count(alias_name='n_events'), Sum('value', alias_name='sum_value'))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            'user_id': batch.column('user_id'),
+            'hour': batch.column('hour'),
+            'n_events': batch.column('n_events'),
+            'sum_value': _round4(batch.column('sum_value')),
+        })
+
+    return out.map_batches(finish, batch_format='pyarrow')
+
+
+EVENTS_HOURLY_SQL = """
+SELECT user_id, date_trunc('hour', ts) AS hour,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY user_id, date_trunc('hour', ts)
+"""
+
+
+def events_type_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, 'events', columns=['event_type', 'value'])
+    out = ds.groupby('event_type').aggregate(
+        Count(alias_name='n'),
+        Sum('value', alias_name='sum_value'),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            'event_type': batch.column('event_type'),
+            'n': batch.column('n'),
+            'sum_value': _round4(batch.column('sum_value')),
+        })
+
+    return out.map_batches(finish, batch_format='pyarrow')
+
+
+EVENTS_TYPE_SQL = """
+SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def events_json_props(sf_dir: str):
+    """JsonDecode chain over the props column → sum of k per event type.
+
+    Exercises the scalar-fallback kernel (JsonDecode has no Arrow
+    vectorization) inside a batch stage."""
+    import filters_ray as f
+    from ..vector import compile_chain
+
+    ds = _read(sf_dir, 'events', columns=['event_type', 'props'])
+
+    class DecodeProps:
+        def __init__(self):
+            self.chain = compile_chain(f.JsonDecode)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            decoded, _ = self.chain.apply_column(batch.column('props'))
+            ks = pa.array(
+                [None if d is None else d.get('k') for d in decoded.to_pylist()],
+                type=pa.int64(),
+            )
+            return pa.table({
+                'event_type': batch.column('event_type'),
+                'k': ks,
+            })
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(DecodeProps, batch_format='pyarrow', concurrency=2)
+        .groupby('event_type')
+        .aggregate(Sum('k', alias_name='sum_k'))
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# validation-chain queries over `documents`
+# ---------------------------------------------------------------------------
+
+DOC_LANGS = {'en', 'de', 'fr', 'es', 'zh'}
+
+
+def docs_reject_counts(sf_dir: str):
+    """FilterChain validation over documents; rejection counts per code —
+    the FilterRunner.error_codes surface as a distributed aggregate."""
+    import filters_ray as f
+    from ..stages.validate import ERRORS_COLUMN, RecordValidator
+
+    ds = _read(sf_dir, 'documents', columns=['doc_id', 'text', 'lang', 'n_chars'])
+
+    class Validate:
+        def __init__(self):
+            self.validator = RecordValidator(
+                filter_map={
+                    'doc_id': f.Required | f.Int | f.Min(0),
+                    'text': f.Required | f.NotEmpty | f.MaxLength(500),
+                    'lang': f.Required | f.Choice(choices=DOC_LANGS),
+                    'n_chars': f.Required | f.Int | f.Min(0) | f.Max(300),
+                },
+                allow_missing_keys=False,
+                allow_extra_keys=False,
+            )
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = self.validator.validate_table(batch)
+            codes = []
+            for entry in out.column(ERRORS_COLUMN).to_pylist():
+                for e in entry:
+                    codes.append(e['code'])
+            import collections
+            counts = collections.Counter(codes)
+            return pa.table({
+                'code': pa.array(sorted(counts), type=pa.string()),
+                'n': pa.array([counts[c] for c in sorted(counts)], type=pa.int64()),
+            })
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(Validate, batch_format='pyarrow', concurrency=2)
+        .groupby('code')
+        .aggregate(Sum('n', alias_name='n'))
+    )
+
+
+DOCS_REJECT_SQL = """
+WITH codes AS (
+    SELECT 'too_long' AS code, count(*) AS n FROM documents WHERE length(text) > 500
+    UNION ALL
+    SELECT 'too_big' AS code, count(*) AS n FROM documents WHERE n_chars > 300
+    UNION ALL
+    SELECT 'not_valid_choice' AS code, count(*) AS n FROM documents
+    WHERE lang NOT IN ('en','de','fr','es','zh') OR lang IS NULL
+)
+SELECT code, n FROM codes WHERE n > 0
+"""
+
+
+def docs_lang_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, 'documents', columns=['lang'])
+    return ds.groupby('lang').aggregate(Count(alias_name='n_docs'))
+
+
+DOCS_LANG_SQL = 'SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang'
+
+
+def docs_token_stats(sf_dir: str):
+    """Vectorized whitespace token counts per doc (text.add_token_count)."""
+    from .text import add_token_count
+
+    ds = _read(sf_dir, 'documents', columns=['doc_id', 'text'])
+
+    def project(batch: pa.Table) -> pa.Table:
+        out = add_token_count(batch, 'text')
+        return out.select(['doc_id', 'n_tokens_ws'])
+
+    return ds.map_batches(project, batch_format='pyarrow')
+
+
+DOCS_TOKENS_SQL = """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens_ws
+FROM documents
+"""
+
+
+def dedup_exact_docs(sf_dir: str):
+    """Exact dedup on raw text, keeping the min doc_id per distinct text."""
+    ds = _read(sf_dir, 'documents', columns=['doc_id', 'text'])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        col = batch.column('text').combine_chunks()
+        vals = np.asarray(col.to_numpy(zero_copy_only=False), dtype=object)
+        vals = np.where(np.array([v is None for v in vals]), '', vals)
+        hashed = pd.util.hash_array(vals, categorize=False).astype(np.int64)
+        return batch.append_column('_h', pa.array(hashed))
+
+    def keep_min(group: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            group.sort_values('doc_id')
+            .drop_duplicates(subset=['text'], keep='first')
+        )
+        return out[['doc_id', 'text']]
+
+    return (
+        ds.map_batches(add_hash, batch_format='pyarrow')
+        .groupby('_h')
+        .map_groups(keep_min, batch_format='pandas')
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+"""
+
+
+# ---------------------------------------------------------------------------
+# embeddings / similarity
+# ---------------------------------------------------------------------------
+
+
+def knn_top10(sf_dir: str):
+    """Brute-force cosine top-10 vs the vec_id=0 embedding (deterministic
+    tie-break on vec_id)."""
+    import ray.data as rd
+
+    ds = _read(sf_dir, 'embeddings', columns=['vec_id', 'embedding'])
+    first = [r for r in ds.take(64) if r['vec_id'] == 0]
+    query = np.asarray(first[0]['embedding'], dtype=np.float64)
+
+    from .similarity import knn_brute_force
+
+    results = knn_brute_force(ds, query[None, :], k=10, column='embedding', key='vec_id')
+    rows = [
+        {'vec_id': key, 'cosine': round(sim, 4)}
+        for key, sim in results[0]
+    ]
+    # Deterministic tie-break: cosine desc, vec_id asc.
+    rows.sort(key=lambda r: (-r['cosine'], r['vec_id']))
+    return pd.DataFrame(rows)
+
+
+KNN_SQL = """
+WITH q AS (
+    SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                    (SELECT qv FROM q)), 4) AS cosine
+FROM embeddings
+ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                (SELECT qv FROM q)) DESC, vec_id
+LIMIT 10
+"""
+
+
+def embeddings_label_centroids(sf_dir: str):
+    """Per-label mean embedding norm (vectorized batch math + groupby)."""
+    ds = _read(sf_dir, 'embeddings', columns=['label', 'embedding'])
+
+    def norms(batch: pa.Table) -> pa.Table:
+        mat = np.asarray(batch.column('embedding').to_pylist(), dtype=np.float64)
+        return pa.table({
+            'label': batch.column('label'),
+            'norm': pa.array(np.round(np.linalg.norm(mat, axis=1), 4)),
+        })
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.map_batches(norms, batch_format='pyarrow')
+        .groupby('label')
+        .aggregate(Count(alias_name='n_vecs'), Sum('norm', alias_name='sum_norm'))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            'label': batch.column('label'),
+            'n_vecs': batch.column('n_vecs'),
+            'sum_norm': _round4(batch.column('sum_norm')),
+        })
+
+    return out.map_batches(finish, batch_format='pyarrow')
+
+
+EMB_LABEL_SQL = """
+SELECT label, count(*) AS n_vecs,
+       round(sum(round(sqrt(list_sum(list_transform(embedding, x -> x * x))), 4)), 4) AS sum_norm
+FROM embeddings GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible ops (rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+def docs_lang_id(sf_dir: str):
+    """Heuristic language ID (actor-pool stage)."""
+    from .text import LangIdStage
+
+    ds = _read(sf_dir, 'documents', columns=['doc_id', 'text'])
+    out = ds.map_batches(
+        LangIdStage, fn_constructor_kwargs={'column': 'text'},
+        batch_format='pyarrow', concurrency=2,
+    )
+    return out.select_columns(['doc_id', 'lang_pred', 'lang_conf'])
+
+
+def docs_quality(sf_dir: str):
+    from .text import add_quality_score
+
+    ds = _read(sf_dir, 'documents', columns=['doc_id', 'text'])
+    return ds.map_batches(
+        lambda b: add_quality_score(b, 'text').select(
+            ['doc_id', 'quality_score', 'punct_ratio']),
+        batch_format='pyarrow',
+    )
+
+
+def docs_fingerprint(sf_dir: str):
+    from .text import add_fingerprint
+
+    ds = _read(sf_dir, 'documents', columns=['doc_id', 'text'])
+    return ds.map_batches(
+        lambda b: add_fingerprint(b, 'text').select(['doc_id', 'fingerprint']),
+        batch_format='pyarrow',
+    )
+
+
+def docs_minhash_pairs(sf_dir: str):
+    from .dedup import minhash_candidates
+
+    ds = _read(sf_dir, 'documents', columns=['doc_id', 'text'])
+    return minhash_candidates(ds, column='text', key='doc_id',
+                              num_perm=32, bands=8, shingle_k=4)
+
+
+def docs_simhash_pairs(sf_dir: str):
+    from .dedup import simhash_dedup
+
+    ds = _read(sf_dir, 'documents', columns=['doc_id', 'text'])
+    return simhash_dedup(ds, column='text', key='doc_id', max_hamming=6)
+
+
+def embeddings_neardup_pairs(sf_dir: str):
+    from .dedup import embedding_dedup
+
+    ds = _read(sf_dir, 'embeddings', columns=['vec_id', 'embedding'])
+    return embedding_dedup(ds, threshold=0.99)
+
+
+def knn_ivf_top10(sf_dir: str):
+    from .similarity import knn_ivf
+
+    ds = _read(sf_dir, 'embeddings', columns=['vec_id', 'embedding'])
+    first = [r for r in ds.take(64) if r['vec_id'] == 0]
+    query = np.asarray(first[0]['embedding'], dtype=np.float64)
+    results = knn_ivf(ds, query[None, :], k=10, num_centroids=8, nprobe=3)
+    rows = [
+        {'vec_id': key, 'cosine': round(sim, 4)} for key, sim in results[0]
+    ]
+    return pd.DataFrame(rows)
+
+
+def cdc_upsert_demo(sf_dir: str):
+    """The flagship CDC pipeline over the deterministic synthetic log
+    (own fixture — op/lsn structure the generic tables lack). Scale is
+    derived from sf_dir so bigger tiers exercise bigger logs."""
+    import tempfile
+
+    import ray.data as rd
+
+    from ..sources.synth import SynthConfig, make_events
+    from .cdc import CDCPipeline
+
+    scale = 1
+    if 'sf0.01' in sf_dir:
+        scale = 4
+    elif 'sf0.1' in sf_dir:
+        scale = 16
+    cfg = SynthConfig(n_keys=250 * scale, n_events=2_000 * scale, seed=42)
+    events = make_events(cfg)
+
+    lake = tempfile.mkdtemp(prefix='cdc_lake_')
+    pipeline = CDCPipeline(lake, num_partitions=16)
+    pipeline.run(rd.from_arrow(events))
+    table = pipeline.final_table()
+    # Project to a stable, compact result surface.
+    out = pa.table({
+        'repo': table.column('repo'),
+        'path': table.column('path'),
+        'last_lsn': table.column('last_lsn'),
+        'content_sha': pa.array([
+            __import__('hashlib').sha256(
+                c if isinstance(c, bytes) else (c or '').encode()
+            ).hexdigest()
+            for c in table.column('content').to_pylist()
+        ]),
+    })
+    return out
+
+
+def multimodal_decode_demo(sf_dir: str):
+    """Multimodal plumbing over synthetic binary payloads (stubbed decode)."""
+    import ray.data as rd
+
+    from .multimodal import DecodeImageStage
+
+    rng = np.random.RandomState(5)
+    n = 64
+    payloads = [rng.bytes(256) for _ in range(n)]
+    table = pa.table({
+        'media_id': pa.array(range(n), type=pa.int64()),
+        'media_type': pa.array(['image'] * n),
+        'payload': pa.array(payloads, type=pa.large_binary()),
+    })
+    ds = rd.from_arrow(table)
+    out = ds.map_batches(
+        DecodeImageStage, fn_constructor_kwargs={'strict': False},
+        batch_format='pyarrow', batch_size=16, concurrency=2,
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+#: name -> (ray_callable, oracle_sql | None)
+QUERIES = {
+    'q1_pricing_summary': (q1_pricing_summary, Q1_SQL),
+    'orders_by_nation': (orders_by_nation, ORDERS_BY_NATION_SQL),
+    'top10_orders_by_revenue': (top10_orders_by_revenue, TOP10_ORDERS_SQL),
+    'nation_region_join': (nation_region_join, NATION_REGION_SQL),
+    'orders_status_counts': (orders_status_counts, ORDERS_STATUS_SQL),
+    'parts_by_brand_stats': (parts_by_brand_stats, PARTS_BY_BRAND_SQL),
+    'events_lww_state': (events_lww_state, EVENTS_LWW_SQL),
+    'events_hourly_window': (events_hourly_window, EVENTS_HOURLY_SQL),
+    'events_type_stats': (events_type_stats, EVENTS_TYPE_SQL),
+    'events_json_props': (events_json_props, EVENTS_JSON_SQL),
+    'docs_reject_counts': (docs_reject_counts, DOCS_REJECT_SQL),
+    'docs_lang_counts': (docs_lang_counts, DOCS_LANG_SQL),
+    'docs_token_stats': (docs_token_stats, DOCS_TOKENS_SQL),
+    'dedup_exact_docs': (dedup_exact_docs, DEDUP_EXACT_SQL),
+    'knn_top10': (knn_top10, KNN_SQL),
+    'embeddings_label_centroids': (embeddings_label_centroids, EMB_LABEL_SQL),
+    # non-SQL-expressible (rows-only driver check):
+    'docs_lang_id': (docs_lang_id, None),
+    'docs_quality': (docs_quality, None),
+    'docs_fingerprint': (docs_fingerprint, None),
+    'docs_minhash_pairs': (docs_minhash_pairs, None),
+    'docs_simhash_pairs': (docs_simhash_pairs, None),
+    'embeddings_neardup_pairs': (embeddings_neardup_pairs, None),
+    'knn_ivf_top10': (knn_ivf_top10, None),
+    'cdc_upsert_demo': (cdc_upsert_demo, None),
+    'multimodal_decode_demo': (multimodal_decode_demo, None),
+}
+
+
+def ray_queries():
+    return {name: fn for name, (fn, _) in QUERIES.items()}
+
+
+def oracle_sqls():
+    return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}

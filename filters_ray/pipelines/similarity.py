@@ -1,0 +1,212 @@
+"""Similarity search over embedding columns (`list<float>`).
+
+* ``knn_brute_force`` — the exact baseline: the (small) query matrix is
+  broadcast once (`ray.put`), every batch computes a numpy matmul and
+  keeps only its per-batch top-k, so the driver-side merge sees
+  ``k × num_batches`` candidates, never the corpus.
+* ``IvfIndex`` / ``knn_ivf`` — the scale path: coarse k-means centroids
+  (trained on a bounded sample, fixed seed), vectors assigned to their
+  nearest centroid (one vectorized pass), queries probe only the
+  ``nprobe`` nearest centroid lists.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ['knn_brute_force', 'IvfIndex', 'knn_ivf', 'train_centroids']
+
+
+def _as_matrix(col) -> np.ndarray:
+    rows = col.to_pylist()
+    return np.asarray(rows, dtype=np.float64)
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def knn_brute_force(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    column: str = 'embedding',
+    key: str = 'vec_id',
+):
+    """Exact cosine top-k for each query row.
+
+    Returns a list (per query) of ``[(key, cosine), ...]`` sorted
+    descending, exactly ``k`` long (fewer if the corpus is smaller).
+    """
+    import ray
+
+    q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    q_ref = ray.put(q)
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        mat = _normalize(_as_matrix(batch.column(column)))
+        keys = np.asarray(batch.column(key).to_pylist())
+        sims = mat @ qm.T  # (n, nq)
+        kk = min(k, sims.shape[0])
+        out_q, out_key, out_sim = [], [], []
+        for qi in range(qm.shape[0]):
+            idx = np.argpartition(-sims[:, qi], kk - 1)[:kk]
+            out_q.extend([qi] * kk)
+            out_key.extend(keys[idx].tolist())
+            out_sim.extend(sims[idx, qi].tolist())
+        return pa.table({
+            'query': pa.array(out_q, type=pa.int32()),
+            key: pa.array(out_key),
+            'cosine': pa.array(out_sim),
+        })
+
+    candidates = ds.map_batches(batch_topk, batch_format='pyarrow').take_all()
+
+    heaps: List[list] = [[] for _ in range(q.shape[0])]
+    for row in candidates:
+        h = heaps[row['query']]
+        item = (row['cosine'], row[key])
+        if len(h) < k:
+            heapq.heappush(h, item)
+        else:
+            heapq.heappushpop(h, item)
+    return [
+        [(kk, sim) for sim, kk in sorted(h, reverse=True)]
+        for h in heaps
+    ]
+
+
+def train_centroids(
+    ds,
+    num_centroids: int = 16,
+    column: str = 'embedding',
+    sample_rows: int = 4096,
+    iters: int = 10,
+    seed: int = 7,
+) -> np.ndarray:
+    """Deterministic mini k-means on a bounded sample (Lloyd iterations)."""
+    sample = ds.limit(sample_rows).to_pandas()
+    mat = _normalize(np.asarray(sample[column].tolist(), dtype=np.float64))
+    rng = np.random.RandomState(seed)
+    centroids = mat[rng.choice(len(mat), size=min(num_centroids, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = (mat @ centroids.T).argmax(axis=1)
+        for c in range(centroids.shape[0]):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+class IvfIndex:
+    """IVF coarse index: centroid assignment rows for the corpus.
+
+    Build: one vectorized pass assigning every vector to its nearest
+    centroid (the inverted lists stay distributed as a Dataset keyed by
+    ``centroid`` — nothing is collected on the driver).
+    """
+
+    def __init__(self, centroids: np.ndarray, column: str = 'embedding',
+                 key: str = 'vec_id') -> None:
+        self.centroids = centroids
+        self.column = column
+        self.key = key
+
+    def assign(self, ds):
+        import ray
+
+        c_ref = ray.put(self.centroids)
+        column, key = self.column, self.key
+
+        def tag(batch: pa.Table) -> pa.Table:
+            cents = ray.get(c_ref)
+            mat = _normalize(_as_matrix(batch.column(column)))
+            assign = (mat @ cents.T).argmax(axis=1).astype(np.int32)
+            return pa.table({
+                key: batch.column(key),
+                'centroid': pa.array(assign),
+                '_unit': pa.array(list(mat), type=pa.list_(pa.float64())),
+            })
+
+        return ds.map_batches(tag, batch_format='pyarrow')
+
+
+def knn_ivf(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    column: str = 'embedding',
+    key: str = 'vec_id',
+    centroids: Optional[np.ndarray] = None,
+):
+    """Approximate cosine top-k probing only ``nprobe`` centroid lists."""
+    import pyarrow.compute as pc
+    import ray
+
+    if centroids is None:
+        centroids = train_centroids(ds, num_centroids=num_centroids, column=column)
+    index = IvfIndex(centroids, column=column, key=key)
+    tagged = index.assign(ds)
+
+    q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    probe = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    wanted = set(int(c) for c in probe.ravel())
+
+    q_ref = ray.put(q)
+    probe_ref = ray.put(probe)
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        probes = ray.get(probe_ref)
+        cents = batch.column('centroid').to_numpy(zero_copy_only=False)
+        mat = np.asarray(batch.column('_unit').to_pylist(), dtype=np.float64)
+        keys = np.asarray(batch.column(key).to_pylist())
+        out_q, out_key, out_sim = [], [], []
+        for qi in range(qm.shape[0]):
+            mask = np.isin(cents, probes[qi])
+            if not mask.any():
+                continue
+            sims = mat[mask] @ qm[qi]
+            kk = min(k, sims.shape[0])
+            idx = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.extend([qi] * kk)
+            out_key.extend(keys[mask][idx].tolist())
+            out_sim.extend(sims[idx].tolist())
+        return pa.table({
+            'query': pa.array(out_q, type=pa.int32()),
+            key: pa.array(out_key),
+            'cosine': pa.array(out_sim),
+        })
+
+    # Prune to probed lists before the scan (vectorized is_in predicate).
+    wanted_arr = pa.array(sorted(wanted), type=pa.int32())
+
+    def prune(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column('centroid'), value_set=wanted_arr))
+
+    pruned = tagged.map_batches(prune, batch_format='pyarrow')
+
+    candidates = pruned.map_batches(batch_topk, batch_format='pyarrow').take_all()
+
+    heaps: List[list] = [[] for _ in range(q.shape[0])]
+    for row in candidates:
+        h = heaps[row['query']]
+        item = (row['cosine'], row[key])
+        if len(h) < k:
+            heapq.heappush(h, item)
+        else:
+            heapq.heappushpop(h, item)
+    return [
+        [(kk, sim) for sim, kk in sorted(h, reverse=True)]
+        for h in heaps
+    ]

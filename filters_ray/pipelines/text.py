@@ -1,0 +1,171 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+All stages are vectorized `map_batches` transforms over Arrow string
+columns (`batch_format="pyarrow"`, zero-copy); the language-ID stage is a
+callable class (actor pool) holding its compiled pattern set.
+
+Ops: token counting, quality scoring, language ID (n-gram/stopword
+heuristic), document fingerprinting (normalized content hash — the
+rolling-hash building block used by the dedup pipelines).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = [
+    'LangIdStage',
+    'add_fingerprint',
+    'add_quality_score',
+    'add_token_count',
+    'token_count_table',
+]
+
+_TOKEN_RE = r'[A-Za-z0-9_]+|[^\sA-Za-z0-9_]'  # BPE-ish: words + single punct
+_WS_TOKEN_RE = r'\S+'
+_PUNCT_RE = r'[!-/:-@\[-`{-~]'
+_UPPER_RE = r'[A-Z]'
+
+
+def add_token_count(batch: pa.Table, column: str = 'text') -> pa.Table:
+    """Whitespace-token and BPE-ish token counts, vectorized (RE2)."""
+    col = batch.column(column)
+    ws = pc.count_substring_regex(col, _WS_TOKEN_RE)
+    bpe = pc.count_substring_regex(col, _TOKEN_RE)
+    out = batch.append_column('n_tokens_ws', pc.cast(ws, pa.int64()))
+    return out.append_column('n_tokens_bpe', pc.cast(bpe, pa.int64()))
+
+
+def token_count_table(batch: pa.Table, column: str = 'text') -> pa.Table:
+    """Projection form used by the `queries()` surface."""
+    with_counts = add_token_count(batch, column)
+    return with_counts
+
+
+def add_quality_score(batch: pa.Table, column: str = 'text') -> pa.Table:
+    """Heuristic quality features + composite score in [0, 1].
+
+    Features (all RE2-vectorized): char length, whitespace-token count,
+    mean token length, punctuation ratio, uppercase ratio. The composite
+    mirrors common pretraining-corpus filters (length window + "looks like
+    prose" ratios).
+    """
+    col = batch.column(column)
+    n_chars = pc.cast(pc.utf8_length(col), pa.float64())
+    n_tokens = pc.cast(pc.count_substring_regex(col, _WS_TOKEN_RE), pa.float64())
+    n_punct = pc.cast(pc.count_substring_regex(col, _PUNCT_RE), pa.float64())
+    n_upper = pc.cast(pc.count_substring_regex(col, _UPPER_RE), pa.float64())
+
+    safe_chars = pc.max_element_wise(n_chars, pa.scalar(1.0))
+    safe_tokens = pc.max_element_wise(n_tokens, pa.scalar(1.0))
+
+    mean_tok_len = pc.divide(n_chars, safe_tokens)
+    punct_ratio = pc.divide(n_punct, safe_chars)
+    upper_ratio = pc.divide(n_upper, safe_chars)
+
+    # Composite: start at 1, subtract penalties.
+    np_chars = n_chars.to_numpy(zero_copy_only=False)
+    np_mtl = mean_tok_len.to_numpy(zero_copy_only=False)
+    np_punct = punct_ratio.to_numpy(zero_copy_only=False)
+    np_upper = upper_ratio.to_numpy(zero_copy_only=False)
+
+    score = np.ones(len(batch), dtype=np.float64)
+    score -= 0.4 * ((np_chars < 20) | (np_chars > 100_000))   # length window
+    score -= 0.2 * ((np_mtl < 2.0) | (np_mtl > 12.0))          # gibberish tokens
+    score -= 0.2 * (np_punct > 0.2)                            # punct soup
+    score -= 0.2 * (np_upper > 0.3)                            # SHOUTING
+    score = np.clip(score, 0.0, 1.0)
+
+    out = batch.append_column('n_chars_q', pc.cast(n_chars, pa.int64()))
+    out = out.append_column('punct_ratio', punct_ratio)
+    out = out.append_column('upper_ratio', upper_ratio)
+    out = out.append_column('quality_score', pa.array(score))
+    return out
+
+
+def normalize_for_fingerprint(col: pa.Array) -> pa.Array:
+    """Casefold-ish + collapse whitespace: the canonical form hashed by
+    `add_fingerprint` (and by exact dedup)."""
+    out = pc.utf8_lower(col)
+    out = pc.replace_substring_regex(out, pattern=r'\s+', replacement=' ')
+    out = pc.utf8_trim_whitespace(out)
+    return out
+
+
+def add_fingerprint(batch: pa.Table, column: str = 'text') -> pa.Table:
+    """64-bit content fingerprint over the normalized text.
+
+    Uses pandas' SipHash (`hash_array`, fixed key — stable across
+    processes/nodes) over the normalized string; emitted as hex so the
+    column round-trips everywhere.
+    """
+    col = batch.column(column)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    norm = normalize_for_fingerprint(col)
+    values = np.asarray(norm.to_numpy(zero_copy_only=False), dtype=object)
+    mask = np.array([v is None for v in values])
+    values = np.where(mask, '', values)
+    hashed = pd.util.hash_array(values, categorize=False)
+    hexes = np.array([f'{h:016x}' for h in hashed], dtype=object)
+    hexes[mask] = None
+    return batch.append_column('fingerprint', pa.array(hexes, type=pa.string()))
+
+
+# Stopword profiles for the n-gram/stopword language-ID heuristic. Small
+# on purpose: the point is the actor-pool pattern (compile once per actor,
+# vectorized RE2 counting per batch), not SOTA accuracy.
+_LANG_PROFILES: Dict[str, List[str]] = {
+    'en': ['the', 'and', 'of', 'to', 'in', 'is', 'that', 'it', 'for', 'was'],
+    'de': ['der', 'die', 'und', 'das', 'ist', 'nicht', 'mit', 'ein', 'zu', 'den'],
+    'fr': ['le', 'la', 'et', 'les', 'des', 'est', 'une', 'dans', 'que', 'pour'],
+    'es': ['el', 'la', 'de', 'que', 'los', 'las', 'por', 'con', 'una', 'del'],
+    'it': ['il', 'di', 'che', 'la', 'per', 'una', 'sono', 'non', 'con', 'del'],
+}
+
+
+class LangIdStage:
+    """Actor-pool language ID: per-language stopword-hit counting.
+
+    ``__init__`` compiles one alternation pattern per language (once per
+    actor); ``__call__`` is pure vectorized counting. Emits ``lang_pred``
+    and ``lang_conf``.
+    """
+
+    def __init__(self, column: str = 'text',
+                 profiles: Optional[Dict[str, List[str]]] = None) -> None:
+        self.column = column
+        self.profiles = profiles or _LANG_PROFILES
+        self.patterns = {
+            lang: r'(?i)\b(?:' + '|'.join(words) + r')\b'
+            for lang, words in self.profiles.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.column)
+        n = batch.num_rows
+        totals = pc.cast(
+            pc.count_substring_regex(col, _WS_TOKEN_RE), pa.float64(),
+        ).to_numpy(zero_copy_only=False)
+        totals = np.maximum(totals, 1.0)
+
+        langs = list(self.patterns)
+        scores = np.zeros((len(langs), n), dtype=np.float64)
+        for i, lang in enumerate(langs):
+            hits = pc.cast(
+                pc.count_substring_regex(col, self.patterns[lang]), pa.float64(),
+            ).to_numpy(zero_copy_only=False)
+            scores[i] = hits / totals
+
+        best = scores.argmax(axis=0)
+        conf = scores.max(axis=0)
+        pred = np.array(langs, dtype=object)[best]
+        pred[conf < 0.05] = 'unknown'
+
+        out = batch.append_column('lang_pred', pa.array(pred, type=pa.string()))
+        return out.append_column('lang_conf', pa.array(conf))
