@@ -1,0 +1,245 @@
+"""Benchmark driver: headline CDC ingest+upsert + query suite.
+
+Usage::
+
+    python bench.py                 # one JSON line on stdout
+    python bench.py --scaling       # run headline at 8 and 32 CPUs in fresh
+                                    # processes; report scaling efficiency
+
+Env: ``GRAFT_SF_DIR`` (default /root/testdata/sf0.1), ``RAY_GRAFT_CPUS``
+(default 32), ``GRAFT_BENCH_EVENTS`` (default 1_000_000 at sf0.1).
+
+The headline metric is sustained change-events/sec through the full CDC
+pipeline (validate → hash shuffle → LWW upsert → manifest commit), the
+BASELINE.json target. The event log is synthesized deterministically once
+and cached as parquet (generation is untimed); each run upserts into a
+fresh lake so runs are comparable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+
+SF_DIR = os.environ.get('GRAFT_SF_DIR', '/root/testdata/sf0.1')
+NUM_CPUS = int(os.environ.get('RAY_GRAFT_CPUS', '32'))
+
+_EVENTS_BY_SF = {
+    'sf0.001': 20_000,
+    'sf0.01': 120_000,
+    'sf0.1': 1_000_000,
+}
+
+
+def _n_events() -> int:
+    if 'GRAFT_BENCH_EVENTS' in os.environ:
+        return int(os.environ['GRAFT_BENCH_EVENTS'])
+    for tag, n in _EVENTS_BY_SF.items():
+        if tag in SF_DIR:
+            return n
+    return 200_000
+
+
+def event_log_path(n_events: int) -> str:
+    """Synthesize (once, cached) the bench event log as parquet shards."""
+    cache = f'/tmp/filters_ray_bench/events-{n_events}'
+    marker = os.path.join(cache, '_done')
+    if not os.path.exists(marker):
+        from filters_ray.sources.synth import SynthConfig, write_events_parquet
+
+        shutil.rmtree(cache, ignore_errors=True)
+        cfg = SynthConfig(
+            n_keys=max(1000, n_events // 5),
+            n_events=n_events,
+            n_repos=max(40, n_events // 25_000),
+            seed=42,
+        )
+        write_events_parquet(cfg, cache, shard_rows=100_000)
+        with open(marker, 'w') as fh:
+            fh.write('ok')
+    return cache
+
+
+def run_headline(num_cpus: int) -> dict:
+    """The CDC ingest+upsert pipeline; returns timing + throughput."""
+    import ray
+    import ray.data as rd
+
+    from filters_ray.pipelines.cdc import CDCPipeline
+
+    n_events = _n_events()
+    events_path = event_log_path(n_events)
+
+    # Warm the page cache so we measure compute + shuffle, not cold disk.
+    for name in os.listdir(events_path):
+        if name.endswith('.parquet'):
+            with open(os.path.join(events_path, name), 'rb') as fh:
+                fh.read()
+
+    lake = tempfile.mkdtemp(prefix='bench_lake_')
+    try:
+        pipeline = CDCPipeline(
+            lake,
+            num_partitions=max(32, num_cpus * 2),
+            batch_size=16384,
+        )
+        t0 = time.time()
+        report = pipeline.run(rd.read_parquet(events_path))
+        elapsed = time.time() - t0
+        return {
+            'cdc_sec': round(elapsed, 3),
+            'events': n_events,
+            'events_per_sec': round(n_events / elapsed, 1),
+            'events_applied': report.events_applied,
+            'rejected': sum(report.rejected_by_code.values()),
+            'lake_rows': report.lake_rows,
+        }
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
+
+
+QUERY_SUBSET = [
+    'q1_pricing_summary',
+    'orders_by_nation',
+    'top10_orders_by_revenue',
+    'events_lww_state',
+    'events_hourly_window',
+    'docs_token_stats',
+    'dedup_exact_docs',
+    'docs_minhash_pairs',
+    'knn_top10',
+    'docs_lang_id',
+]
+
+
+def run_queries() -> dict:
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = {}
+    for name in QUERY_SUBSET:
+        fn = qs[name]
+        t0 = time.time()
+        result = fn(SF_DIR)
+        # Force execution of lazy datasets.
+        if hasattr(result, 'materialize'):
+            result = result.materialize()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main_single() -> None:
+    import ray
+
+    ray.init(
+        address='local',
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level='ERROR',
+    )
+    import logging
+
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    logging.getLogger('ray.data').setLevel(logging.ERROR)
+
+    headline = run_headline(NUM_CPUS)
+    queries = run_queries()
+
+    ray.shutdown()
+
+    print(json.dumps({
+        'metric': 'cdc_ingest_upsert_sec',
+        'value': headline['cdc_sec'],
+        'unit': 'sec',
+        'queries': queries,
+        'sf': SF_DIR,
+        'num_cpus': NUM_CPUS,
+        'events': headline['events'],
+        'events_per_sec': headline['events_per_sec'],
+        'events_applied': headline['events_applied'],
+        'rejected': headline['rejected'],
+        'lake_rows': headline['lake_rows'],
+    }))
+
+
+def main_scaling() -> None:
+    """Run the headline job at N=8 and 4N=32 CPUs in fresh processes."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_HEADLINE_ONLY='1',
+        )
+        out = subprocess.run(
+            [sys.executable, 'bench.py'],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    tput_lo = r_lo['events_per_sec']
+    tput_hi = r_hi['events_per_sec']
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    print(json.dumps({
+        'metric': 'cdc_scaling_efficiency',
+        'value': round(eff, 3),
+        'unit': 'ratio',
+        'events': r_lo['events'],
+        f'sec_{lo}': r_lo['value'],
+        f'sec_{hi}': r_hi['value'],
+        f'events_per_sec_{lo}': tput_lo,
+        f'events_per_sec_{hi}': tput_hi,
+        'scaling_efficiency': round(eff, 3),
+        'sf': SF_DIR,
+    }))
+
+
+def main_headline_only() -> None:
+    import ray
+
+    ray.init(
+        address='local',
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level='ERROR',
+    )
+    import logging
+
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger('ray.data').setLevel(logging.ERROR)
+
+    headline = run_headline(NUM_CPUS)
+    ray.shutdown()
+    print(json.dumps({
+        'metric': 'cdc_ingest_upsert_sec',
+        'value': headline['cdc_sec'],
+        'unit': 'sec',
+        'queries': {},
+        'sf': SF_DIR,
+        'num_cpus': NUM_CPUS,
+        **{k: v for k, v in headline.items() if k != 'cdc_sec'},
+    }))
+
+
+if __name__ == '__main__':
+    if '--scaling' in sys.argv:
+        main_scaling()
+    elif os.environ.get('GRAFT_HEADLINE_ONLY'):
+        main_headline_only()
+    else:
+        main_single()

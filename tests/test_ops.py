@@ -1,0 +1,216 @@
+"""Unit tests for the training-data ops: dedup, similarity, text, multimodal."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from filters_ray.pipelines.dedup import (
+    MinHashStage,
+    SimHashStage,
+    _shingles,
+    exact_dedup,
+    jaccard,
+    minhash_dedup,
+)
+from filters_ray.pipelines.multimodal import (
+    AudioFeatureStage,
+    DecodeImageStage,
+    VideoFrameSampleStage,
+)
+from filters_ray.pipelines.similarity import knn_brute_force, knn_ivf
+from filters_ray.pipelines.text import (
+    LangIdStage,
+    add_fingerprint,
+    add_quality_score,
+    add_token_count,
+)
+
+DOCS = [
+    'the quick brown fox jumps over the lazy dog',
+    'the quick brown fox jumps over the lazy cat',   # near-dup of 0
+    'completely different content about ray data pipelines',
+    'der schnelle braune fuchs springt über den faulen hund und die katze',
+    'the quick brown fox jumps over the lazy dog',   # exact dup of 0
+    '',
+]
+
+
+def docs_table():
+    return pa.table({
+        'doc_id': list(range(len(DOCS))),
+        'text': DOCS,
+    })
+
+
+# ---------------------------------------------------------------------------
+# text
+# ---------------------------------------------------------------------------
+
+
+def test_token_count_vectorized():
+    out = add_token_count(docs_table())
+    assert out.column('n_tokens_ws').to_pylist()[0] == 9
+    assert out.column('n_tokens_ws').to_pylist()[-1] == 0
+
+
+def test_quality_score_bounds():
+    out = add_quality_score(docs_table())
+    scores = out.column('quality_score').to_pylist()
+    assert all(0.0 <= s <= 1.0 for s in scores)
+    # The empty doc gets the length penalty.
+    assert scores[-1] < scores[0]
+
+
+def test_fingerprint_stability_and_dups():
+    out1 = add_fingerprint(docs_table())
+    out2 = add_fingerprint(docs_table())
+    fp1 = out1.column('fingerprint').to_pylist()
+    assert fp1 == out2.column('fingerprint').to_pylist()  # deterministic
+    assert fp1[0] == fp1[4]   # exact dups share fingerprints
+    assert fp1[0] != fp1[2]
+
+
+def test_lang_id_stage():
+    stage = LangIdStage()
+    out = stage(docs_table())
+    preds = out.column('lang_pred').to_pylist()
+    assert preds[0] == 'en'
+    assert preds[3] == 'de'
+
+
+# ---------------------------------------------------------------------------
+# dedup primitives
+# ---------------------------------------------------------------------------
+
+
+def test_shingles_and_jaccard():
+    a = _shingles('abcdef', 3)
+    assert a == {'abc', 'bcd', 'cde', 'def'}
+    assert jaccard(a, a) == 1.0
+    assert jaccard(a, set()) == 0.0
+    assert jaccard(set(), set()) == 1.0
+
+
+def test_minhash_signature_similarity():
+    stage = MinHashStage(num_perm=128, bands=32, shingle_k=4)
+    s0 = stage.signature(DOCS[0])
+    s1 = stage.signature(DOCS[1])
+    s2 = stage.signature(DOCS[2])
+    sim01 = (s0 == s1).mean()
+    sim02 = (s0 == s2).mean()
+    assert sim01 > 0.6            # near-dups agree on most permutations
+    assert sim02 < 0.3
+    # Deterministic across instances (fixed seed — pool consistency).
+    assert (MinHashStage(num_perm=128, bands=32, shingle_k=4).signature(DOCS[0]) == s0).all()
+
+
+def test_simhash_hamming():
+    h0 = SimHashStage.simhash64(DOCS[0].split())
+    h1 = SimHashStage.simhash64(DOCS[1].split())
+    h2 = SimHashStage.simhash64(DOCS[2].split())
+    ham01 = bin(h0 ^ h1).count('1')
+    ham02 = bin(h0 ^ h2).count('1')
+    assert ham01 < ham02
+
+
+# ---------------------------------------------------------------------------
+# distributed ops (Ray)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.usefixtures('ray_session')
+def test_exact_dedup_ray():
+    import ray.data as rd
+
+    out = exact_dedup(rd.from_arrow(docs_table())).to_pandas()
+    # Docs 0 and 4 are exact dups (after normalization) → keep doc 0.
+    assert 4 not in set(out['doc_id'])
+    assert 0 in set(out['doc_id'])
+    assert len(out) == len(DOCS) - 1
+
+
+@pytest.mark.usefixtures('ray_session')
+def test_minhash_dedup_ray():
+    import ray.data as rd
+
+    survivors, clusters = minhash_dedup(
+        rd.from_arrow(docs_table()), num_perm=64, bands=16,
+        shingle_k=4, threshold=0.6, concurrency=2,
+    )
+    ids = set(survivors.to_pandas()['doc_id'])
+    # Cluster {0, 1, 4} keeps only doc 0.
+    assert 0 in ids
+    assert 4 not in ids
+    assert 1 not in ids
+    assert 2 in ids and 3 in ids
+
+
+@pytest.mark.usefixtures('ray_session')
+def test_knn_brute_force_and_ivf():
+    import ray.data as rd
+
+    rng = np.random.RandomState(3)
+    mat = rng.normal(size=(200, 16))
+    table = pa.table({
+        'vec_id': list(range(200)),
+        'embedding': [row.tolist() for row in mat],
+    })
+    ds = rd.from_arrow(table)
+    query = mat[17]
+
+    exact = knn_brute_force(ds, query[None, :], k=5)
+    assert exact[0][0][0] == 17          # self is the best match
+    assert exact[0][0][1] == pytest.approx(1.0)
+    # Results sorted descending by cosine.
+    sims = [s for _, s in exact[0]]
+    assert sims == sorted(sims, reverse=True)
+
+    approx = knn_ivf(ds, query[None, :], k=5, num_centroids=8, nprobe=8)
+    # With nprobe = all centroids, IVF must equal brute force.
+    assert [k for k, _ in approx[0]] == [k for k, _ in exact[0]]
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def media_batch(n=8):
+    rng = np.random.RandomState(0)
+    return pa.table({
+        'media_id': pa.array(range(n), type=pa.int64()),
+        'media_type': pa.array(['image'] * n),
+        'payload': pa.array([rng.bytes(64) for _ in range(n)], type=pa.large_binary()),
+        'duration_ms': pa.array([1000 * i for i in range(n)], type=pa.int32()),
+    })
+
+
+def test_image_decode_stub_schema():
+    stage = DecodeImageStage()
+    out = stage(media_batch())
+    assert 'payload' not in out.column_names  # heavy bytes dropped post-decode
+    feats = out.column('features').to_pylist()
+    assert len(feats[0]) == DecodeImageStage.FEATURE_DIM
+    # Deterministic fake: same payload → same features.
+    again = DecodeImageStage()(media_batch())
+    assert again.column('features').to_pylist() == feats
+
+
+def test_image_decode_strict_raises():
+    stage = DecodeImageStage(strict=True)
+    if stage._pil is None:
+        with pytest.raises(NotImplementedError):
+            stage(media_batch())
+
+
+def test_audio_stage():
+    out = AudioFeatureStage()(media_batch())
+    assert len(out.column('audio_features').to_pylist()[0]) == AudioFeatureStage.FEATURE_DIM
+
+
+def test_video_frame_sampling_layout():
+    out = VideoFrameSampleStage(num_frames=3)(media_batch(4))
+    assert out.num_rows == 12  # one row per (video, frame)
+    assert set(out.column('frame').to_pylist()) == {0, 1, 2}
