@@ -1,0 +1,48 @@
+"""Readers/writers: thin Ray Data wrappers enforcing the engine's rules.
+
+* Reads prune columns and push row filters down to parquet row groups —
+  a read that loads all columns for a 2-column transform is wrong.
+* Writes produce partitioned directories (resumable layout), never one
+  giant file.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+__all__ = ['read_table', 'read_events', 'write_partitioned']
+
+
+def read_table(
+    path: str,
+    columns: Optional[List[str]] = None,
+    row_filter=None,
+    **kwargs,
+):
+    """``ray.data.read_parquet`` with explicit pruning.
+
+    ``row_filter`` is a ``pyarrow.dataset`` expression (e.g.
+    ``pc.field('lang') == 'en'``) pushed down to row-group selection.
+    """
+    import ray.data as rd
+
+    return rd.read_parquet(path, columns=columns, filter=row_filter, **kwargs)
+
+
+def read_events(path: str, columns: Optional[List[str]] = None):
+    """Read a change-event log directory (ordered parquet shards)."""
+    return read_table(path, columns=columns)
+
+
+def write_partitioned(
+    ds,
+    root: str,
+    min_rows_per_file: int = 500_000,
+    **kwargs,
+):
+    """Partitioned parquet sink (directory of part files)."""
+    try:
+        return ds.write_parquet(root, min_rows_per_file=min_rows_per_file, **kwargs)
+    except TypeError:
+        # Older Ray releases use num_rows_per_file.
+        return ds.write_parquet(root, num_rows_per_file=min_rows_per_file, **kwargs)

@@ -1,0 +1,103 @@
+"""Unit tests for manifests and the schema registry."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from filters_ray.state.manifest import ManifestStore, PartitionManifest, TableMeta
+from filters_ray.state.registry import SchemaRegistry, align_table, widen_schema
+
+
+def test_manifest_roundtrip(tmp_path):
+    store = ManifestStore(str(tmp_path))
+    store.write_meta(TableMeta(num_partitions=16))
+    meta = store.read_meta()
+    assert meta.num_partitions == 16
+    assert meta.key_columns == ('repo', 'path')
+
+    assert store.high_watermark(3) == -1
+    manifest = PartitionManifest(
+        partition_id=3, hwm_lsn=42, rows=10, bytes=1000,
+        sha256='ab', rejected_by_code={'empty': 2},
+    )
+    store.commit_partition(manifest, None)
+    assert store.high_watermark(3) == 42
+    again = store.read_manifest(3)
+    assert again.rejected_by_code == {'empty': 2}
+    assert store.all_manifests().keys() == {3}
+
+
+def test_commit_is_atomic_data_then_manifest(tmp_path):
+    import pyarrow.parquet as pq
+
+    store = ManifestStore(str(tmp_path))
+    store.write_meta(TableMeta(num_partitions=4))
+    table = pa.table({'repo': ['r'], 'path': ['p'], 'content': ['x'],
+                      'last_lsn': [1]})
+    tmp = store.tmp_path(0)
+    pq.write_table(table, tmp)
+    store.commit_partition(
+        PartitionManifest(partition_id=0, hwm_lsn=1, rows=1, bytes=10, sha256='d'),
+        tmp,
+    )
+    assert os.path.exists(store.data_path(0))
+    assert not os.path.exists(tmp)
+    assert pq.read_table(store.data_path(0)).num_rows == 1
+
+    # Empty commit removes stale data.
+    store.commit_partition(
+        PartitionManifest(partition_id=0, hwm_lsn=2, rows=0, bytes=0, sha256='e'),
+        None,
+    )
+    assert not os.path.exists(store.data_path(0))
+
+
+def test_widen_schema_additive():
+    base = pa.schema([('a', pa.int32()), ('b', pa.string())])
+    incoming = pa.schema([('a', pa.int64()), ('c', pa.float64())])
+    widened, changes = widen_schema(base, incoming)
+    assert widened.field('a').type == pa.int64()
+    assert widened.field('c').type == pa.float64()
+    assert widened.names == ['a', 'b', 'c']
+    assert len(changes) == 2
+
+
+def test_widen_schema_rejects_incompatible():
+    base = pa.schema([('a', pa.string())])
+    incoming = pa.schema([('a', pa.int64())])
+    with pytest.raises(ValueError, match='non-additive'):
+        widen_schema(base, incoming)
+
+
+def test_align_table():
+    schema = pa.schema([('a', pa.int64()), ('b', pa.string())])
+    table = pa.table({'a': pa.array([1, 2], type=pa.int32())})
+    out = align_table(table, schema)
+    assert out.schema == schema
+    assert out.column('b').null_count == 2
+
+
+def test_schema_registry_persistence(tmp_path):
+    reg = SchemaRegistry(str(tmp_path))
+    assert reg.current() is None
+    reg.register(pa.schema([('x', pa.int32())]))
+    reg.register(pa.schema([('x', pa.int64()), ('y', pa.string())]))
+
+    # A fresh instance reloads the persisted widened schema.
+    reg2 = SchemaRegistry(str(tmp_path))
+    assert reg2.current().field('x').type == pa.int64()
+    assert 'y' in reg2.current().names
+    assert any('widen x' in h for h in reg2.history())
+
+
+@pytest.mark.usefixtures('ray_session')
+def test_schema_registry_as_actor(tmp_path):
+    import ray
+
+    actor = ray.remote(SchemaRegistry).remote(str(tmp_path))
+    ray.get(actor.register.remote(pa.schema([('x', pa.int32())])))
+    out = ray.get(actor.register.remote(pa.schema([('z', pa.bool_())])))
+    assert set(out.names) == {'x', 'z'}
