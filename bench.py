@@ -76,11 +76,19 @@ def run_headline(num_cpus: int) -> dict:
     n_events = _n_events()
     events_path = event_log_path(n_events)
 
-    # Warm the page cache so we measure compute + shuffle, not cold disk.
+    # Warm the page cache so we measure compute + shuffle, not cold disk,
+    # and run one tiny pipeline so Ray worker processes exist before t0
+    # (steady-state throughput, not process-spawn latency).
     for name in os.listdir(events_path):
         if name.endswith('.parquet'):
             with open(os.path.join(events_path, name), 'rb') as fh:
                 fh.read()
+    warm = rd.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
+        lambda b: b, batch_format='pyarrow',
+    )
+    warm.groupby('id').map_groups(
+        lambda t: t, batch_format='pyarrow',
+    ).materialize()
 
     lake = tempfile.mkdtemp(prefix='bench_lake_')
     try:
@@ -180,6 +188,10 @@ def main_scaling() -> None:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_HEADLINE_ONLY='1',
+            # Larger log for the scaling measurement: fixed scheduler /
+            # shuffle-coordination latency (~2s) must be small relative to
+            # work, as it is at the real 10^10-event design point.
+            GRAFT_BENCH_EVENTS=os.environ.get('GRAFT_BENCH_EVENTS', '4000000'),
         )
         out = subprocess.run(
             [sys.executable, 'bench.py'],

