@@ -92,10 +92,13 @@ def run_headline(num_cpus: int) -> dict:
 
     lake = tempfile.mkdtemp(prefix='bench_lake_')
     try:
+        # Partition count is FIXED (not a function of num_cpus): replay
+        # determinism pins it per lake, and the scaling comparison must
+        # run the identical plan at both parallelism levels.
         pipeline = CDCPipeline(
             lake,
-            num_partitions=max(32, num_cpus * 2),
-            batch_size=16384,
+            num_partitions=32,
+            batch_size=131072,
         )
         t0 = time.time()
         report = pipeline.run(rd.read_parquet(events_path))
@@ -191,7 +194,7 @@ def main_scaling() -> None:
             # Larger log for the scaling measurement: fixed scheduler /
             # shuffle-coordination latency (~2s) must be small relative to
             # work, as it is at the real 10^10-event design point.
-            GRAFT_BENCH_EVENTS=os.environ.get('GRAFT_BENCH_EVENTS', '4000000'),
+            GRAFT_BENCH_EVENTS=os.environ.get('GRAFT_BENCH_EVENTS', '8000000'),
         )
         out = subprocess.run(
             [sys.executable, 'bench.py'],

@@ -467,7 +467,7 @@ class CDCPipeline:
         num_partitions: int = 32,
         langs: Optional[List[str]] = None,
         allow_extra_keys: Union[bool, List[str]] = True,
-        batch_size: int = 8192,
+        batch_size: int = 131072,
         validate_concurrency: Optional[int] = None,
     ) -> None:
         self.lake_root = lake_root

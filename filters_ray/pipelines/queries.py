@@ -248,6 +248,54 @@ FROM part GROUP BY p_brand
 """
 
 
+def lineitem_monthly_shipments(sf_dir: str):
+    """Temporal filter chain (vectorized Date kernel) + monthly rollup."""
+    import filters_ray as f
+    from ..vector import compile_chain
+
+    ds = _read(sf_dir, 'lineitem', columns=['l_shipdate', 'l_quantity'])
+
+    _cache: dict = {}
+
+    def monthly(batch: pa.Table) -> pa.Table:
+        chain = _cache.get('c')
+        if chain is None:
+            chain = _cache['c'] = compile_chain(f.Date(naive=True))
+            # Date filter (reference simple.py:268-291) vectorizes via the
+            # timestamp→date32 cast kernel.
+        dates, _errs = chain.apply_column(batch.column('l_shipdate'))
+        month = pc.floor_temporal(dates.cast(pa.timestamp('us')), unit='month')
+        return pa.table({
+            'month': month,
+            'l_quantity': batch.column('l_quantity'),
+        })
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.map_batches(monthly, batch_format='pyarrow')
+        .groupby('month')
+        .aggregate(Count(alias_name='n_items'), Sum('l_quantity', alias_name='sum_qty'))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            'month': batch.column('month'),
+            'n_items': batch.column('n_items'),
+            'sum_qty': _round4(batch.column('sum_qty')),
+        })
+
+    return out.map_batches(finish, batch_format='pyarrow')
+
+
+LINEITEM_MONTHLY_SQL = """
+SELECT date_trunc('month', l_shipdate) AS month,
+       count(*) AS n_items,
+       round(sum(l_quantity), 4) AS sum_qty
+FROM lineitem GROUP BY date_trunc('month', l_shipdate)
+"""
+
+
 # ---------------------------------------------------------------------------
 # CDC-shaped queries over the driver's `events` table
 # ---------------------------------------------------------------------------
@@ -735,6 +783,7 @@ QUERIES = {
     'nation_region_join': (nation_region_join, NATION_REGION_SQL),
     'orders_status_counts': (orders_status_counts, ORDERS_STATUS_SQL),
     'parts_by_brand_stats': (parts_by_brand_stats, PARTS_BY_BRAND_SQL),
+    'lineitem_monthly_shipments': (lineitem_monthly_shipments, LINEITEM_MONTHLY_SQL),
     'events_lww_state': (events_lww_state, EVENTS_LWW_SQL),
     'events_hourly_window': (events_hourly_window, EVENTS_HOURLY_SQL),
     'events_type_stats': (events_type_stats, EVENTS_TYPE_SQL),

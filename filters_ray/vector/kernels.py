@@ -487,6 +487,74 @@ def _kernel_noop(filt: fsimple.NoOp) -> Callable[[pa.Array], KernelResult]:
     return lambda arr: KernelResult(arr)
 
 
+# Strict ISO-8601 timestamps (no timezone) — the vectorizable subset; the
+# reference's dateutil parser accepts far more, so everything else drops
+# to the scalar fallback row-wise.
+_ISO_RE = r'^\d{4}-\d{2}-\d{2}([T ]\d{2}:\d{2}:\d{2}(\.\d{1,6})?)?$'
+
+
+def _kernel_datetime(filt) -> Callable[[pa.Array], KernelResult]:
+    # Only the plain-UTC configuration vectorizes (naive inputs assume
+    # UTC, result converted to UTC) — matching Datetime(timezone=None).
+    from dateutil.tz import tzutc
+
+    if not isinstance(filt.timezone, tzutc):
+        return ScalarFallbackKernel(filt)
+
+    is_date = isinstance(filt, fsimple.Date)
+    naive = filt.naive
+    scalar_fb = ScalarFallbackKernel(filt)
+    out_type = (
+        pa.date32() if is_date
+        else pa.timestamp('us') if naive
+        else pa.timestamp('us', tz='UTC')
+    )
+
+    def kernel(arr: pa.Array) -> KernelResult:
+        t = arr.type
+        n = len(arr)
+        if pa.types.is_timestamp(t) or pa.types.is_date(t):
+            values = arr
+            if pa.types.is_date(t) and is_date:
+                return KernelResult(arr)  # plain dates pass untouched
+            ts = values.cast(pa.timestamp('us'))
+            if pa.types.is_timestamp(t) and t.tz is not None:
+                ts = values.cast(pa.timestamp('us', tz='UTC')).cast(pa.timestamp('us'))
+            if is_date:
+                return KernelResult(ts.cast(pa.date32()))
+            if naive:
+                return KernelResult(ts)
+            return KernelResult(ts.cast(pa.timestamp('us', tz='UTC')))
+        if not (pa.types.is_string(t) or pa.types.is_large_string(t)):
+            return scalar_fb(arr)
+        iso = _as_bool_ndarray(pc.match_substring_regex(arr, _ISO_RE), n)
+        rest = ~iso & _not_null_mask(arr)
+        safe = pc.if_else(pa.array(iso), arr, pa.scalar(None, type=t))
+        try:
+            ts = safe.cast(pa.timestamp('us'))
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            return scalar_fb(arr)
+        out = ts.cast(out_type) if not out_type.equals(ts.type) else ts
+        if rest.any():
+            # Non-ISO rows: exact dateutil semantics via the scalar filter.
+            res = scalar_fb(arr.filter(pa.array(rest)))
+            idx = np.flatnonzero(rest)
+            out_py = out.to_pylist()
+            sub = res.values.to_pylist()
+            for j, i in enumerate(idx):
+                out_py[i] = sub[j]
+            out = pa.array(out_py, type=out_type)
+            errors: List[ErrorEntry] = []
+            for mask, code, subkey in res.errors:
+                full = np.zeros(n, dtype=bool)
+                full[idx[mask]] = True
+                errors.append((full, code, subkey))
+            return KernelResult(out, errors)
+        return KernelResult(out)
+
+    return kernel
+
+
 # ---------------------------------------------------------------------------
 # scalar fallback
 # ---------------------------------------------------------------------------
@@ -560,6 +628,8 @@ class ScalarFallbackKernel:
 # ---------------------------------------------------------------------------
 
 _VECTOR_BUILDERS: List[Tuple[type, Callable]] = [
+    (fsimple.Date, _kernel_datetime),          # before Datetime (subclass)
+    (fsimple.Datetime, _kernel_datetime),
     (fsimple.NotEmpty, _kernel_not_empty),     # also covers Required (subclass)
     (fsimple.Empty, _kernel_empty),
     (fsimple.Optional, _kernel_optional),

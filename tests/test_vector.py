@@ -103,6 +103,15 @@ CASES = [
     ('base64', lambda: f.Base64Decode, [b'aGVsbG8=', b'!!!', None, b'-_-_'], pa.binary()),
     ('datetime_naive', lambda: f.Datetime(naive=True),
      ['2015-05-11T14:56:58-05:00', 'nope', None, '2020-01-01'], None),
+    ('datetime_iso_fast', lambda: f.Datetime(naive=True),
+     ['2020-01-01 10:30:00', '2020-06-01T00:00:00.250000', None, 'junk',
+      '2021-02-03'], None),
+    ('datetime_aware', lambda: f.Datetime(),
+     ['2020-01-01 10:30:00', None, '2015-05-11T14:56:58-05:00'], None),
+    ('date_from_string', lambda: f.Date(naive=True),
+     ['2020-01-01', 'nope', None, '2021-07-15 13:00:00'], None),
+    ('datetime_ts_column', lambda: f.Datetime(naive=True),
+     [datetime.datetime(2020, 1, 1, 5, 0, 0), None], pa.timestamp('us')),
     ('chain_cdc_repo', lambda: f.Required | f.Unicode | f.Strip | f.NotEmpty | f.MaxLength(6),
      STRINGS, None),
     ('chain_int_max', lambda: f.Int | f.Max(3), NUMSTR, None),
