@@ -17,7 +17,12 @@ import pyarrow.compute as pc
 
 from .base import BaseFilter
 
-__all__ = ['First', 'ContentRequiredUnlessDelete', 'content_required_rule']
+__all__ = [
+    'First',
+    'ContentRequiredUnlessDelete',
+    'Lookup',
+    'content_required_rule',
+]
 
 
 class First(BaseFilter):
@@ -92,6 +97,72 @@ class ContentRequiredUnlessDelete(BaseFilter):
             # The record itself survives; only the content error is noted
             # (row-level rejection happens at the DLQ split).
         return value
+
+
+class Lookup(BaseFilter):
+    """Map a value through a (small, broadcast) dimension table.
+
+    The engine analogue of the reference's per-value DB-lookup extension
+    (``f.ext.Model``, docs/filters_list.rst:319-351): the lookup dict is
+    built once per worker (broadcast-hash semi-join semantics, no
+    shuffle). Values absent from the table are invalid (``not_found``)
+    unless a ``default`` is given.
+    """
+
+    CODE_NOT_FOUND = 'not_found'
+    _MISSING = object()
+
+    templates = {
+        CODE_NOT_FOUND: 'No entry found matching this value.',
+    }
+
+    def __init__(self, table: dict, default: Any = _MISSING) -> None:
+        super().__init__()
+        self.table = table
+        self.default = default
+
+    def _apply(self, value: Any) -> Any:
+        try:
+            return self.table[value]
+        except (KeyError, TypeError):
+            if self.default is not self._MISSING:
+                return self.default
+            return self._invalid_value(value, self.CODE_NOT_FOUND)
+
+    # -- vectorized path --------------------------------------------------
+
+    def apply_column(self, arr: pa.Array):
+        from ..vector.kernels import KernelResult, _as_bool_ndarray
+
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        keys = list(self.table.keys())
+        try:
+            key_arr = pa.array(keys, type=arr.type)
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            # Key/column type mismatch: nothing matches.
+            n = len(arr)
+            miss = _as_bool_ndarray(pc.is_valid(arr), n)
+            if self.default is not self._MISSING:
+                vals = pa.array([self.default] * n)
+                return KernelResult(vals)
+            return KernelResult(
+                pa.nulls(n), [(miss, self.CODE_NOT_FOUND, '')] if miss.any() else [],
+            )
+        # index_in gives, per row, the position in the key list (or null).
+        idx = pc.index_in(arr, value_set=key_arr)
+        found = _as_bool_ndarray(pc.is_valid(idx), len(arr))
+        values_arr = pa.array(list(self.table.values()))
+        taken = values_arr.take(pc.fill_null(idx, 0))
+        out = pc.if_else(pa.array(found), taken, pa.scalar(None, type=taken.type))
+        miss = ~found & _as_bool_ndarray(pc.is_valid(arr), len(arr))
+        if self.default is not self._MISSING:
+            if miss.any():
+                out = pc.if_else(
+                    pa.array(~miss), out, pa.scalar(self.default, type=out.type),
+                )
+            return KernelResult(out)
+        return KernelResult(out, [(miss, self.CODE_NOT_FOUND, '')] if miss.any() else [])
 
 
 def content_required_rule(

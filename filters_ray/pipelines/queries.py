@@ -438,6 +438,127 @@ FROM events GROUP BY event_type
 """
 
 
+def events_sessionize(sf_dir: str):
+    """Gap-based session windows per user (30-min inactivity gap).
+
+    The streaming-shaped pattern: partition by key, sort by time inside
+    ``map_groups``, assign sessions with a cumulative gap counter. Output:
+    one row per session with bounds + event count."""
+    ds = _read(sf_dir, 'events', columns=['user_id', 'event_id', 'ts'])
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(['ts', 'event_id']).reset_index(drop=True)
+        gaps = g['ts'].diff() > pd.Timedelta(minutes=30)
+        g['session'] = gaps.cumsum().astype('int64')
+        out = g.groupby('session', as_index=False).agg(
+            user_id=('user_id', 'first'),
+            session_start=('ts', 'min'),
+            session_end=('ts', 'max'),
+            n_events=('event_id', 'size'),
+        )
+        return out[['user_id', 'session', 'session_start', 'session_end', 'n_events']]
+
+    return ds.groupby('user_id').map_groups(sessions, batch_format='pandas')
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+    SELECT user_id, event_id, ts,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session
+    FROM flagged
+)
+SELECT user_id, session, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, session
+"""
+
+
+def events_distinct_types(sf_dir: str):
+    """Distinct values of one column (``Dataset.unique`` — a shuffle)."""
+    ds = _read(sf_dir, 'events', columns=['event_type'])
+    values = sorted(ds.unique('event_type'))
+    return pd.DataFrame({'event_type': values})
+
+
+EVENTS_DISTINCT_SQL = 'SELECT DISTINCT event_type FROM events'
+
+
+def orders_union_halves(sf_dir: str):
+    """Union of two disjoint slices re-aggregated (Dataset.union)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, 'orders', columns=['o_orderkey', 'o_orderstatus'])
+
+    def low(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(pc.bit_wise_and(batch.column('o_orderkey'), 1), 0))
+
+    def high(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(pc.bit_wise_and(batch.column('o_orderkey'), 1), 1))
+
+    evens = ds.map_batches(low, batch_format='pyarrow')
+    odds = ds.map_batches(high, batch_format='pyarrow')
+    return evens.union(odds).groupby('o_orderstatus').aggregate(
+        Count(alias_name='n'),
+    )
+
+
+ORDERS_UNION_SQL = """
+SELECT o_orderstatus, count(*) AS n FROM (
+    SELECT * FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT * FROM orders WHERE o_orderkey % 2 = 1
+) GROUP BY o_orderstatus
+"""
+
+
+def customer_nation_lookup(sf_dir: str):
+    """The Lookup filter (broadcast dimension join) inside a chain:
+    c_nationkey → nation name, rejecting unknown keys."""
+    import ray
+
+    from ..functions.engine_filters import Lookup
+    from ..vector import compile_chain
+
+    nation = _read(sf_dir, 'nation', columns=['n_nationkey', 'n_name']).to_pandas()
+    mapping = dict(zip(nation['n_nationkey'].astype(int), nation['n_name']))
+    map_ref = ray.put(mapping)
+
+    _cache: dict = {}
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        chain = _cache.get('c')
+        if chain is None:
+            import filters_ray as f
+            chain = _cache['c'] = compile_chain(
+                f.Required | Lookup(ray.get(map_ref)),
+            )
+        names, _errs = chain.apply_column(batch.column('c_nationkey'))
+        return pa.table({'n_name': names})
+
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, 'customer', columns=['c_nationkey'])
+    return (
+        ds.map_batches(resolve, batch_format='pyarrow')
+        .groupby('n_name')
+        .aggregate(Count(alias_name='n_customers'))
+    )
+
+
+CUSTOMER_NATION_SQL = """
+SELECT n.n_name, count(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # validation-chain queries over `documents`
 # ---------------------------------------------------------------------------
@@ -785,6 +906,10 @@ QUERIES = {
     'parts_by_brand_stats': (parts_by_brand_stats, PARTS_BY_BRAND_SQL),
     'lineitem_monthly_shipments': (lineitem_monthly_shipments, LINEITEM_MONTHLY_SQL),
     'events_lww_state': (events_lww_state, EVENTS_LWW_SQL),
+    'events_sessionize': (events_sessionize, EVENTS_SESSIONIZE_SQL),
+    'events_distinct_types': (events_distinct_types, EVENTS_DISTINCT_SQL),
+    'orders_union_halves': (orders_union_halves, ORDERS_UNION_SQL),
+    'customer_nation_lookup': (customer_nation_lookup, CUSTOMER_NATION_SQL),
     'events_hourly_window': (events_hourly_window, EVENTS_HOURLY_SQL),
     'events_type_stats': (events_type_stats, EVENTS_TYPE_SQL),
     'events_json_props': (events_json_props, EVENTS_JSON_SQL),

@@ -555,6 +555,67 @@ def _kernel_datetime(filt) -> Callable[[pa.Array], KernelResult]:
     return kernel
 
 
+def _kernel_repeater(filt: 'fcomplex.FilterRepeater') -> Callable[[pa.Array], KernelResult]:
+    """Vectorized FilterRepeater over list columns.
+
+    Flatten (keeping offsets) → apply the compiled element chain to the
+    flat child array → rebuild the ListArray. Per-element error isolation
+    comes free: a failed element is null at its position, siblings are
+    processed (reference complex.py:127-145); error subkeys are the
+    element index within the row ('parentkey.i').
+    """
+    if filt.restrict_keys is not None:
+        return ScalarFallbackKernel(filt)  # index restriction: rare, scalar
+    scalar_fb = ScalarFallbackKernel(filt)
+
+    from .compiler import CompiledChain
+
+    chain = CompiledChain(filt._filter_chain)
+
+    def kernel(arr: pa.Array) -> KernelResult:
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if not (pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)):
+            # Mappings / other iterables / wrong types: scalar semantics.
+            return scalar_fb(arr)
+        n = len(arr)
+        offsets = np.asarray(arr.offsets)
+        flat = arr.values
+        out_flat, elem_errors = chain.apply_column(flat)
+
+        # Map flat-element errors back to (row, index-within-row) keys.
+        errors: List[ErrorEntry] = []
+        if elem_errors.entries:
+            starts = offsets[:-1]
+            row_of = np.searchsorted(offsets, np.arange(len(flat)), side='right') - 1
+            for rows_flat, code, subkey in elem_errors.entries:
+                by_subkey: dict = {}
+                for fi in rows_flat:
+                    row = int(row_of[fi])
+                    idx_in_row = int(fi - starts[row])
+                    key = f'{idx_in_row}.{subkey}' if subkey else str(idx_in_row)
+                    by_subkey.setdefault(key, []).append(row)
+                for key, row_list in by_subkey.items():
+                    mask = np.zeros(n, dtype=bool)
+                    mask[row_list] = True
+                    errors.append((mask, code, key))
+
+        rebuilt = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), out_flat,
+        )
+        # Preserve null rows (offsets alone lose the validity bitmap).
+        null_rows = ~_not_null_mask(arr)
+        if null_rows.any():
+            rebuilt = pc.if_else(
+                pa.array(~null_rows), rebuilt, pa.scalar(None, type=rebuilt.type),
+            )
+        # NOTE: per-element errors do NOT fail the row itself — the row's
+        # value keeps the rebuilt list (failed elements are null inside).
+        return KernelResult(rebuilt, errors)
+
+    return kernel
+
+
 # ---------------------------------------------------------------------------
 # scalar fallback
 # ---------------------------------------------------------------------------
@@ -647,6 +708,7 @@ _VECTOR_BUILDERS: List[Tuple[type, Callable]] = [
     (fnumber.Int, _kernel_int),
     (fnumber.Max, _kernel_minmax),
     (fnumber.Min, _kernel_minmax),
+    (fcomplex.FilterRepeater, _kernel_repeater),
 ]
 
 

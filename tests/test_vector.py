@@ -121,6 +121,12 @@ CASES = [
      STRINGS, None),
     ('chain_optional_choice', lambda: f.Unicode | f.Optional('py') | f.Choice(choices={'py', 'rs'}),
      ['py', 'rs', None, '', 'go'], None),
+    ('repeater_int', lambda: f.FilterRepeater(f.Int | f.Max(5)),
+     [[1, 2], [9, 3], None, [], [4, 10, 2]], pa.list_(pa.int64())),
+    ('repeater_strings', lambda: f.FilterRepeater(f.Required | f.Unicode | f.MaxLength(3)),
+     [['ab', 'toolong'], [], None, ['x', None]], pa.list_(pa.string())),
+    ('repeater_then_len', lambda: f.FilterRepeater(f.Int) | f.MaxLength(2),
+     [['1'], ['1', '2', '3'], None, ['x']], pa.list_(pa.string())),
 ]
 
 
