@@ -76,19 +76,26 @@ def run_headline(num_cpus: int) -> dict:
     n_events = _n_events()
     events_path = event_log_path(n_events)
 
-    # Warm the page cache so we measure compute + shuffle, not cold disk,
-    # and run one tiny pipeline so Ray worker processes exist before t0
-    # (steady-state throughput, not process-spawn latency).
+    # Warm-up before t0 so we measure steady-state compute + shuffle:
+    # 1. page cache for the input files (not cold disk);
+    # 2. one tiny end-to-end CDC run with enough blocks to touch every
+    #    worker process — fresh Ray workers pay a multi-second one-time
+    #    import (filters_ray, pandas, chain compile) on their first real
+    #    batch, which is process-startup cost, not pipeline throughput.
     for name in os.listdir(events_path):
         if name.endswith('.parquet'):
             with open(os.path.join(events_path, name), 'rb') as fh:
                 fh.read()
-    warm = rd.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
-        lambda b: b, batch_format='pyarrow',
-    )
-    warm.groupby('id').map_groups(
-        lambda t: t, batch_format='pyarrow',
-    ).materialize()
+
+    from filters_ray.sources.synth import SynthConfig, make_events
+
+    warm_events = make_events(SynthConfig(n_keys=200, n_events=2000, seed=1))
+    warm_lake = tempfile.mkdtemp(prefix='bench_warm_')
+    try:
+        warm_ds = rd.from_arrow(warm_events).repartition(num_cpus * 2)
+        CDCPipeline(warm_lake, num_partitions=32, batch_size=64).run(warm_ds)
+    finally:
+        shutil.rmtree(warm_lake, ignore_errors=True)
 
     lake = tempfile.mkdtemp(prefix='bench_lake_')
     try:
