@@ -1,0 +1,62 @@
+"""CLI entry for the CDC ingest job (the ``ray job submit`` target).
+
+Usage::
+
+    python -m filters_ray.cdc_job --events /path/to/event_parquet_dir \\
+        --lake /path/to/lake [--partitions 1024] [--num-cpus 32]
+
+Prints the run report as one JSON line. Owns its Ray session (guarded —
+safe under an already-initialised cluster driver too, where it simply
+joins the existing session).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from dataclasses import asdict
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description='CDC ingest+upsert job')
+    parser.add_argument('--events', required=True,
+                        help='parquet file/dir of change events')
+    parser.add_argument('--lake', required=True, help='lake table root')
+    parser.add_argument('--partitions', type=int, default=256,
+                        help='hash partition count (pinned at lake creation)')
+    parser.add_argument('--batch-size', type=int, default=131072)
+    parser.add_argument('--num-cpus', type=int, default=None,
+                        help='only used when this process owns ray.init')
+    parser.add_argument('--strict-langs', nargs='*', default=None,
+                        help='allowed lang values (default: built-in set)')
+    args = parser.parse_args(argv)
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        init_kwargs = dict(include_dashboard=False, ignore_reinit_error=True)
+        if args.num_cpus:
+            init_kwargs['num_cpus'] = args.num_cpus
+        ray.init(**init_kwargs)
+
+    try:
+        from filters_ray.pipelines.cdc import CDCPipeline
+
+        pipeline = CDCPipeline(
+            args.lake,
+            num_partitions=args.partitions,
+            langs=args.strict_langs,
+            batch_size=args.batch_size,
+        )
+        report = pipeline.run(args.events)
+        print(json.dumps(asdict(report)))
+        return 0
+    finally:
+        if owns_session:
+            ray.shutdown()
+
+
+if __name__ == '__main__':
+    sys.exit(main())
