@@ -47,20 +47,19 @@ def _n_events() -> int:
 
 
 def event_log_path(n_events: int) -> str:
-    """Synthesize (once, cached) the bench event log as parquet shards."""
-    cache = f'/tmp/filters_ray_bench/events-{n_events}'
+    """Synthesize (once, cached) the bench event log as parquet shards.
+
+    Uses the vectorized generator (same schema/corruption taxonomy as the
+    correctness-test generator; see synth_fast.py) so bench-scale logs
+    build in seconds — the cache may be wiped between driver rounds.
+    """
+    cache = f'/tmp/filters_ray_bench/events-fast-{n_events}'
     marker = os.path.join(cache, '_done')
     if not os.path.exists(marker):
-        from filters_ray.sources.synth import SynthConfig, write_events_parquet
+        from filters_ray.sources.synth_fast import write_events_parquet_fast
 
         shutil.rmtree(cache, ignore_errors=True)
-        cfg = SynthConfig(
-            n_keys=max(1000, n_events // 5),
-            n_events=n_events,
-            n_repos=max(40, n_events // 25_000),
-            seed=42,
-        )
-        write_events_parquet(cfg, cache, shard_rows=100_000)
+        write_events_parquet_fast(n_events, cache, seed=42)
         with open(marker, 'w') as fh:
             fh.write('ok')
     return cache
