@@ -170,25 +170,64 @@ class MinHashStage:
         })
 
 
-def _candidate_pairs_from_buckets(bucket_rows: pd.DataFrame, key: str) -> pd.DataFrame:
-    ids = sorted(bucket_rows[key].unique())
+def _dedup_pairs(pairs):
+    """Global (left, right) pair dedup in 64 hash-bucket group calls."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column('_pb', pa.array([], type=pa.int64()))
+        joined = np.array(
+            [f'{l}\x00{r}' for l, r in zip(batch.column('left').to_pylist(),
+                                           batch.column('right').to_pylist())],
+            dtype=object,
+        )
+        bucket = (_hash_strings(joined) % np.uint64(64)).astype(np.int64)
+        return batch.append_column('_pb', pa.array(bucket))
+
+    return (
+        pairs.map_batches(add_bucket, batch_format='pyarrow')
+        .groupby('_pb')
+        .map_groups(
+            lambda g: g.drop_duplicates(subset=['left', 'right']).drop(columns=['_pb']),
+            batch_format='pandas',
+        )
+    )
+
+
+def _band_candidate_pairs(band_rows: pd.DataFrame, key: str) -> pd.DataFrame:
+    """All candidate pairs within one band (vectorized bucket scan).
+
+    Buckets are tiny by construction; a degenerate hot bucket
+    (all-identical spam) is capped by pairing everything to its first id
+    instead of exploding O(n²).
+    """
+    # Drop singleton buckets first — the overwhelming majority.
+    dup = band_rows[band_rows.duplicated('band_hash', keep=False)]
     pairs: List[Tuple] = []
-    # Buckets are tiny by construction; cap defensively against a
-    # degenerate hot bucket (all-identical spam) — pair to the first id.
-    if len(ids) > 64:
-        pairs = [(ids[0], other) for other in ids[1:]]
-    else:
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                pairs.append((ids[i], ids[j]))
+    for _, sub in dup.groupby('band_hash', sort=False):
+        ids = sorted(sub[key].unique())
+        if len(ids) < 2:
+            continue
+        if len(ids) > 64:
+            pairs.extend((ids[0], other) for other in ids[1:])
+        else:
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    pairs.append((ids[i], ids[j]))
     if not pairs:
-        return pd.DataFrame({'left': [], 'right': []})
+        return pd.DataFrame({'left': pd.Series(dtype=object),
+                             'right': pd.Series(dtype=object)})
     return pd.DataFrame(pairs, columns=['left', 'right'])
 
 
 def minhash_candidates(ds, column='text', key='doc_id', num_perm=64,
                        bands=16, shingle_k=5, concurrency=None):
-    """Corpus → candidate duplicate pairs (deduped)."""
+    """Corpus → candidate duplicate pairs (deduped).
+
+    One shuffle (groupby band); pair generation and pair dedup both run
+    band-/bucket-level so the number of per-group Python calls stays tiny
+    (bands + 64), independent of corpus size.
+    """
     sig_rows = ds.map_batches(
         MinHashStage,
         fn_constructor_kwargs={
@@ -198,15 +237,12 @@ def minhash_candidates(ds, column='text', key='doc_id', num_perm=64,
         batch_format='pyarrow',
         concurrency=concurrency or 4,
     )
-    pairs = sig_rows.groupby(['band', 'band_hash']).map_groups(
-        lambda g: _candidate_pairs_from_buckets(g, key),
+    pairs = sig_rows.groupby('band').map_groups(
+        lambda g: _band_candidate_pairs(g, key),
         batch_format='pandas',
     )
-    # Same pair can surface from several bands — dedup the pair list
-    # (small relative to the corpus).
-    return pairs.groupby(['left', 'right']).map_groups(
-        lambda g: g.head(1), batch_format='pandas',
-    )
+    # Same pair can surface from several bands — dedup globally.
+    return _dedup_pairs(pairs)
 
 
 def minhash_dedup(
@@ -345,25 +381,25 @@ def simhash_dedup(ds, column='text', key='doc_id', max_hamming=3, concurrency=No
         concurrency=concurrency or 4,
     )
 
-    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        uniq = group.drop_duplicates(subset=[key])
-        ids = uniq[key].tolist()
-        sims = uniq['simhash'].tolist()
+    def pairs_in_band(group: pd.DataFrame) -> pd.DataFrame:
+        # Singleton buckets dominate — drop them vectorized, then scan the
+        # few populated buckets.
+        dup = group[group.duplicated('bucket', keep=False)]
         out = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                ham = bin((sims[i] ^ sims[j]) & ((1 << 64) - 1)).count('1')
-                if ham <= max_hamming:
-                    a, b = sorted((ids[i], ids[j]))
-                    out.append((a, b, ham))
+        for _, sub in dup.groupby('bucket', sort=False):
+            uniq = sub.drop_duplicates(subset=[key])
+            ids = uniq[key].tolist()
+            sims = uniq['simhash'].tolist()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    ham = bin((sims[i] ^ sims[j]) & ((1 << 64) - 1)).count('1')
+                    if ham <= max_hamming:
+                        a, b = sorted((ids[i], ids[j]))
+                        out.append((a, b, ham))
         return pd.DataFrame(out, columns=['left', 'right', 'hamming'])
 
-    pairs = rows.groupby(['band', 'bucket']).map_groups(
-        pairs_in_bucket, batch_format='pandas',
-    )
-    return pairs.groupby(['left', 'right']).map_groups(
-        lambda g: g.head(1), batch_format='pandas',
-    )
+    pairs = rows.groupby('band').map_groups(pairs_in_band, batch_format='pandas')
+    return _dedup_pairs(pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -427,6 +463,4 @@ def embedding_dedup(
         .groupby('bucket')
         .map_groups(pairs_in_bucket, batch_format='pandas')
     )
-    return pairs.groupby(['left', 'right']).map_groups(
-        lambda g: g.head(1), batch_format='pandas',
-    )
+    return _dedup_pairs(pairs)

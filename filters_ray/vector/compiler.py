@@ -65,6 +65,7 @@ class CompiledChain:
             members = [resolved]
         self._members = members
         self._kernels = [make_kernel(m) for m in members]
+        self._scalar_fallbacks: dict = {}
 
     def apply_column(self, arr) -> Tuple[pa.Array, ColumnErrors]:
         """Apply the chain to a column; returns (values, errors).
@@ -81,8 +82,19 @@ class CompiledChain:
         # (mask, values-at-error) pairs to stitch replacements back in.
         frozen: List[Tuple[np.ndarray, pa.Array]] = []
 
-        for kernel in self._kernels:
-            result: KernelResult = kernel(current)
+        for ki, kernel in enumerate(self._kernels):
+            try:
+                result: KernelResult = kernel(current)
+            except Exception:  # noqa: BLE001
+                # A vector kernel met a type/shape it cannot handle (e.g.
+                # Max(3) over a string column). The scalar path defines the
+                # semantics for every input — fall back for this batch.
+                fallback = self._scalar_fallbacks.get(ki)
+                if fallback is None:
+                    from .kernels import ScalarFallbackKernel
+                    fallback = ScalarFallbackKernel(self._members[ki])
+                    self._scalar_fallbacks[ki] = fallback
+                result = fallback(current)
             newly = np.zeros(n, dtype=bool)
             for mask, code, subkey in result.errors:
                 effective = mask & ok

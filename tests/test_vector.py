@@ -127,6 +127,10 @@ CASES = [
      [['ab', 'toolong'], [], None, ['x', None]], pa.list_(pa.string())),
     ('repeater_then_len', lambda: f.FilterRepeater(f.Int) | f.MaxLength(2),
      [['1'], ['1', '2', '3'], None, ['x']], pa.list_(pa.string())),
+    # Type-mismatched kernels must fall back to scalar semantics
+    # (Max over strings raises → code 'exception'), not crash the batch.
+    ('max_on_strings', lambda: f.Max(3), ['a', None, 'b'], None),
+    ('min_on_strings', lambda: f.Min(0), ['a', None], None),
 ]
 
 
