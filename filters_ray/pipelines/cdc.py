@@ -390,12 +390,12 @@ def make_upsert_fn(lake_root: str):
             base = pq.read_table(store.data_path(pid))
 
         if base is not None:
-            # Base rows act as op=NULL records at their stored last_lsn.
-            base_schema = base.schema
             if 'op' not in base.column_names:
+                # Base rows act as op=NULL records at their stored last_lsn.
                 base = base.append_column('op', pa.nulls(base.num_rows, type=pa.string()))
-            inc_schema = incoming.schema
-            merged_schema, _ = widen_schema(base.schema, inc_schema)
+            # Additive widening lets late extra columns merge with old
+            # partitions (old rows read as null in new columns).
+            merged_schema, _ = widen_schema(base.schema, incoming.schema)
             both = pa.concat_tables([
                 align_table(base, merged_schema),
                 align_table(incoming, merged_schema),

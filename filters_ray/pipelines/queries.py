@@ -870,6 +870,20 @@ def cdc_upsert_demo(sf_dir: str):
     return out
 
 
+def lineitem_seeded_sample(sf_dir: str):
+    """Seeded sampling + repartition demo (rows-only: RNG not shared with
+    SQL). Returns the sampled rows' aggregate so output is stable."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, 'lineitem', columns=['l_returnflag', 'l_quantity'])
+    sample = ds.random_sample(0.1, seed=42).repartition(8)
+    out = sample.groupby('l_returnflag').aggregate(
+        Count(alias_name='n'),
+        Sum('l_quantity', alias_name='sum_qty'),
+    )
+    return out
+
+
 def multimodal_decode_demo(sf_dir: str):
     """Multimodal plumbing over synthetic binary payloads (stubbed decode)."""
     import ray.data as rd
@@ -929,6 +943,7 @@ QUERIES = {
     'knn_ivf_top10': (knn_ivf_top10, None),
     'cdc_upsert_demo': (cdc_upsert_demo, None),
     'multimodal_decode_demo': (multimodal_decode_demo, None),
+    'lineitem_seeded_sample': (lineitem_seeded_sample, None),
 }
 
 
