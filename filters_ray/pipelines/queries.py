@@ -52,40 +52,50 @@ def q1_pricing_summary(sf_dir: str):
     ])
 
     def partial(batch: pa.Table) -> pa.Table:
-        disc_price = pc.multiply(
-            batch.column('l_extendedprice'),
-            pc.subtract(pa.scalar(1.0), batch.column('l_discount')),
-        )
-        batch = batch.append_column('disc_price', disc_price)
-        df = batch.to_pandas()
+        # Money sums in exact integer units (cents / 1e-4): per-row values
+        # are bit-identical across engines, and integer summation is
+        # order-independent — billion-scale float sums are not.
+        price = batch.column('l_extendedprice').to_numpy(zero_copy_only=False)
+        disc = batch.column('l_discount').to_numpy(zero_copy_only=False)
+        base_cents = np.round(price * 100.0).astype(np.int64)
+        disc_e4 = np.round(price * (1.0 - disc) * 10000.0).astype(np.int64)
+        df = pd.DataFrame({
+            'l_returnflag': batch.column('l_returnflag').to_pylist(),
+            'l_linestatus': batch.column('l_linestatus').to_pylist(),
+            'l_quantity': batch.column('l_quantity').to_numpy(zero_copy_only=False),
+            'base_cents': base_cents,
+            'disc_e4': disc_e4,
+        })
         grouped = df.groupby(['l_returnflag', 'l_linestatus'], as_index=False).agg(
             sum_qty=('l_quantity', 'sum'),
-            sum_base_price=('l_extendedprice', 'sum'),
-            sum_disc_price=('disc_price', 'sum'),
+            base_cents=('base_cents', 'sum'),
+            disc_e4=('disc_e4', 'sum'),
             count_order=('l_quantity', 'size'),
         )
         return pa.Table.from_pandas(grouped, preserve_index=False)
 
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     partials = ds.map_batches(partial, batch_format='pyarrow')
     out = partials.groupby(['l_returnflag', 'l_linestatus']).aggregate(
         Sum('sum_qty', alias_name='sum_qty'),
-        Sum('sum_base_price', alias_name='sum_base_price'),
-        Sum('sum_disc_price', alias_name='sum_disc_price'),
+        Sum('base_cents', alias_name='base_cents'),
+        Sum('disc_e4', alias_name='disc_e4'),
         Sum('count_order', alias_name='count_order'),
     )
 
     def finish(batch: pa.Table) -> pa.Table:
-        avg_qty = pc.divide(batch.column('sum_qty'),
-                            pc.cast(batch.column('count_order'), pa.float64()))
+        qty = batch.column('sum_qty').to_numpy(zero_copy_only=False)
+        n = batch.column('count_order').to_numpy(zero_copy_only=False)
+        cents = batch.column('base_cents').to_numpy(zero_copy_only=False)
+        e4 = batch.column('disc_e4').to_numpy(zero_copy_only=False)
         return pa.table({
             'l_returnflag': batch.column('l_returnflag'),
             'l_linestatus': batch.column('l_linestatus'),
-            'sum_qty': _round4(batch.column('sum_qty')),
-            'sum_base_price': _round4(batch.column('sum_base_price')),
-            'sum_disc_price': _round4(batch.column('sum_disc_price')),
-            'avg_qty': _round4(avg_qty),
+            'sum_qty': pa.array(np.round(qty, 4)),
+            'sum_base_price': pa.array(cents / 100.0),
+            'sum_disc_price': pa.array(e4 / 10000.0),
+            'avg_qty': pa.array(np.round(qty / n, 4)),
             'count_order': batch.column('count_order'),
         })
 
@@ -94,11 +104,13 @@ def q1_pricing_summary(sf_dir: str):
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 4)                          AS sum_qty,
-       round(sum(l_extendedprice), 4)                     AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 4)  AS sum_disc_price,
-       round(sum(l_quantity) / count(*), 4)               AS avg_qty,
-       count(*)                                           AS count_order
+       round(sum(l_quantity), 4) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+           AS sum_base_price,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+           / 10000.0 AS sum_disc_price,
+       round(sum(l_quantity) / count(*), 4) AS avg_qty,
+       count(*) AS count_order
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 """
