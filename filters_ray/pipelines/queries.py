@@ -799,6 +799,36 @@ def docs_quality(sf_dir: str):
     )
 
 
+# SQL mirror of add_quality_score: identical operation order so the float
+# results are bit-identical (both engines use IEEE doubles).
+DOCS_QUALITY_SQL = """
+WITH feats AS (
+    SELECT doc_id,
+           CAST(length(text) AS DOUBLE) AS n_chars,
+           CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) AS DOUBLE) AS n_punct,
+           CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) AS n_upper
+    FROM documents
+), ratios AS (
+    SELECT doc_id, n_chars,
+           n_chars / greatest(n_tokens, 1.0) AS mean_tok_len,
+           n_punct / greatest(n_chars, 1.0) AS punct_ratio,
+           n_upper / greatest(n_chars, 1.0) AS upper_ratio
+    FROM feats
+)
+SELECT doc_id,
+       greatest(0.0, least(1.0,
+           1.0
+           - 0.4 * CASE WHEN n_chars < 20 OR n_chars > 100000 THEN 1 ELSE 0 END
+           - 0.2 * CASE WHEN mean_tok_len < 2.0 OR mean_tok_len > 12.0 THEN 1 ELSE 0 END
+           - 0.2 * CASE WHEN punct_ratio > 0.2 THEN 1 ELSE 0 END
+           - 0.2 * CASE WHEN upper_ratio > 0.3 THEN 1 ELSE 0 END
+       )) AS quality_score,
+       punct_ratio
+FROM ratios
+"""
+
+
 def docs_fingerprint(sf_dir: str):
     from .text import add_fingerprint
 
@@ -947,7 +977,7 @@ QUERIES = {
     'embeddings_label_centroids': (embeddings_label_centroids, EMB_LABEL_SQL),
     # non-SQL-expressible (rows-only driver check):
     'docs_lang_id': (docs_lang_id, None),
-    'docs_quality': (docs_quality, None),
+    'docs_quality': (docs_quality, DOCS_QUALITY_SQL),
     'docs_fingerprint': (docs_fingerprint, None),
     'docs_minhash_pairs': (docs_minhash_pairs, None),
     'docs_simhash_pairs': (docs_simhash_pairs, None),
