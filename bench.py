@@ -111,7 +111,7 @@ def run_headline(num_cpus: int) -> dict:
             pipeline = CDCPipeline(
                 lake,
                 num_partitions=32,
-                batch_size=131072,
+                batch_size=int(os.environ.get('GRAFT_BENCH_BATCH', '262144')),
             )
             t0 = time.time()
             report = pipeline.run(rd.read_parquet(events_path))

@@ -226,14 +226,34 @@ def _kernel_strip(filt: fstring.Strip) -> Callable[[pa.Array], KernelResult]:
     trailing = filt.trailing.pattern if filt.trailing else None
 
     def kernel(arr: pa.Array) -> KernelResult:
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
         if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
             bad = _not_null_mask(arr)
             return KernelResult(_null_like(arr), [(bad, fbase.Type.CODE_WRONG_TYPE, '')] if bad.any() else [])
+        # ASCII rows: RE2 (its \s and \p{C} agree with Python's inside
+        # ASCII). Non-ASCII rows: the exact scalar regexes (RE2's \s is
+        # ASCII-only — it would keep U+00A0 etc., found by hypothesis).
+        non_ascii = _as_bool_ndarray(pc.match_substring_regex(arr, _NON_ASCII), len(arr))
         out = arr
         if leading:
             out = pc.replace_substring_regex(out, pattern=leading, replacement='', max_replacements=1)
         if trailing:
             out = pc.replace_substring_regex(out, pattern=trailing, replacement='', max_replacements=1)
+        if non_ascii.any():
+            py = arr.to_pylist()
+            fixed = []
+            for i in range(len(py)):
+                if not non_ascii[i] or py[i] is None:
+                    fixed.append(None)
+                    continue
+                v = py[i]
+                if filt.leading:
+                    v = filt.leading.sub('', v)
+                if filt.trailing:
+                    v = filt.trailing.sub('', v)
+                fixed.append(v)
+            out = pc.if_else(pa.array(~non_ascii), out, pa.array(fixed, type=arr.type))
         return KernelResult(out)
 
     return kernel
@@ -243,21 +263,27 @@ _NPR_PATTERN = r'[^\P{C}\s]+'  # non-printables, excluding whitespace
 
 
 def _normalize_string_array(arr: pa.Array) -> pa.Array:
-    """NFC + strip non-printables + unix newlines (Unicode normalize=True)."""
+    """NFC + strip non-printables + unix newlines (Unicode normalize=True).
+
+    ASCII rows are fully vectorized (RE2). Non-ASCII rows take the exact
+    scalar code path (Python ``regex`` + unicodedata) because (a)
+    pyarrow's utf8_normalize does not compose NFC (verified on Arrow 16)
+    and (b) RE2's ``\\p{C}`` table diverges from the ``regex`` module's on
+    e.g. unassigned codepoints (found by hypothesis).
+    """
+    non_ascii = _as_bool_ndarray(pc.match_substring_regex(arr, _NON_ASCII), len(arr))
     out = pc.replace_substring_regex(arr, pattern=_NPR_PATTERN, replacement='')
-    # NFC composition: pyarrow's utf8_normalize does not compose (verified:
-    # NFD 'é' stays decomposed in Arrow 16), so run Python
-    # unicodedata.normalize on the (usually rare) non-ASCII rows only.
-    non_ascii = _as_bool_ndarray(pc.match_substring_regex(out, _NON_ASCII), len(out))
     if non_ascii.any():
         import unicodedata
-        py = out.to_pylist()
+
+        from ..functions.string import _NON_PRINTABLE
+        py = arr.to_pylist()
         fixed = [
-            unicodedata.normalize('NFC', py[i])
+            unicodedata.normalize('NFC', _NON_PRINTABLE.sub('', py[i]))
             if non_ascii[i] and py[i] is not None else None
             for i in range(len(py))
         ]
-        out = pc.if_else(pa.array(~non_ascii), out, pa.array(fixed, type=out.type))
+        out = pc.if_else(pa.array(~non_ascii), out, pa.array(fixed, type=arr.type))
     out = pc.replace_substring(out, pattern='\r\n', replacement='\n')
     out = pc.replace_substring(out, pattern='\r', replacement='\n')
     return out

@@ -1,0 +1,80 @@
+"""Property-based tests (hypothesis) for the trickiest invariants."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import filters_ray as f
+from filters_ray.sources.oracle import replay_oracle
+from filters_ray.vector import compile_chain
+from filters_ray.vector.kernels import to_arrow_value
+
+TEXT = st.text(max_size=64)
+
+
+@settings(max_examples=200, deadline=None)
+@given(value=TEXT, max_bytes=st.integers(min_value=1, max_value=32))
+def test_maxbytes_truncation_invariants(value, max_bytes):
+    """Truncation is a prefix, fits the limit, and never splits a
+    multibyte sequence (i.e. the result decodes cleanly)."""
+    out = f.MaxBytes.truncate_string(value, max_bytes, 'utf-8')
+    assert len(out) <= max_bytes
+    decoded = out.decode('utf-8')  # must not raise
+    assert value.startswith(decoded)
+
+
+@settings(max_examples=100, deadline=None)
+@given(data=st.binary(min_size=1, max_size=128))
+def test_base64_round_trip(data):
+    # (empty input is invalid by definition — matches the reference,
+    # which rejects the empty byte string with 'not_base64')
+    import base64
+    assert f.Base64Decode().apply(base64.b64encode(data)) == data
+    assert f.Base64Decode().apply(base64.urlsafe_b64encode(data)) == data
+
+
+@settings(max_examples=50, deadline=None)
+@given(column=st.lists(st.one_of(st.none(), TEXT), min_size=1, max_size=30))
+def test_vector_scalar_parity_random_strings(column):
+    """The CDC repo-chain agrees scalar-vs-vector on arbitrary strings."""
+    build = lambda: f.Required | f.Unicode | f.Strip | f.NotEmpty | f.MaxLength(10)  # noqa: E731
+    compiled = compile_chain(build())
+    out, errors = compiled.apply_column(pa.array(column, type=pa.string()))
+
+    got_vals = out.to_pylist()
+    got_codes = [sorted(r) for r in errors.codes_per_row()]
+    for i, value in enumerate(column):
+        runner = f.FilterRunner(build(), value)
+        expected_codes = sorted(
+            (k, c) for k, cs in runner.error_codes.items() for c in cs
+        )
+        assert got_codes[i] == expected_codes, (i, value)
+        assert got_vals[i] == to_arrow_value(runner.cleaned_data), (i, value)
+
+
+@settings(max_examples=30, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_lww_final_state_order_independent(seed):
+    """The oracle's final state is invariant under event reordering
+    (identity = lsn; LWW = max lsn per key) when every event is seen."""
+    import random
+
+    rng = random.Random(seed)
+    keys = [('r/a', 'f1'), ('r/a', 'f2'), ('r/b', 'f1')]
+    events = []
+    for lsn in range(30):
+        repo, path = rng.choice(keys)
+        op = rng.choice(['insert', 'update', 'delete'])
+        events.append({
+            'lsn': lsn, 'op': op, 'repo': repo, 'path': path,
+            'commit': 'c' * 40, 'lang': 'py',
+            'content': None if op == 'delete' else f'body {lsn}',
+        })
+    base = replay_oracle(list(events))
+    shuffled = list(events)
+    rng.shuffle(shuffled)
+    again = replay_oracle(shuffled)
+    assert base.sha256_by_key() == again.sha256_by_key()
+    assert base.rejected_by_code == again.rejected_by_code
