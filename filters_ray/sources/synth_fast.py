@@ -41,11 +41,15 @@ def make_events_fast(
     delete_rate: float = 0.08,
     disorder_window: int = 16,
     skew: float = 1.2,
+    key_seed: int = None,
 ) -> pa.Table:
     rng = np.random.RandomState(seed)
 
     # --- key universe (repo skewed zipf-ish) ---------------------------
-    repo_of_key = rng.choice(
+    # The key universe gets its OWN seed so chunked generation (different
+    # stream seeds per chunk) still updates one shared set of keys.
+    key_rng = np.random.RandomState(seed if key_seed is None else key_seed)
+    repo_of_key = key_rng.choice(
         n_repos, size=n_keys, p=_zipf_weights(n_repos, skew),
     )
     repo_names = np.array(
@@ -164,7 +168,7 @@ def write_events_parquet_fast(
     while written < n_events:
         size = min(chunk, n_events - written)
         t = make_events_fast(
-            size, n_keys=n_keys, seed=seed + i,
+            size, n_keys=n_keys, seed=seed + i, key_seed=seed,
         )
         # Offset lsns into this chunk's range.
         import pyarrow.compute as pc
