@@ -23,6 +23,11 @@ Scale design (SURVEY.md §4):
   rename commits (see :mod:`filters_ray.state.manifest`); replayed events
   with ``lsn <= hwm`` are dropped before merging, so resuming from any
   checkpoint (or replaying the whole log) reproduces the identical table.
+  Delivery contract (standard CDC source semantics): within one delivered
+  batch, disorder is unbounded (the per-partition sort restores per-key
+  LSN order), but across batch boundaries the source must not introduce a
+  *new* event at or below an already-delivered LSN — re-deliveries
+  (duplicates) are fine and are dropped/deduplicated by identity.
 * **Schema evolution** — additive columns arriving on events (allowed
   "extra keys", reference complex.py:306-315) widen the partition schema
   via :func:`filters_ray.state.registry.widen_schema`.

@@ -170,6 +170,16 @@ class MinHashStage:
         })
 
 
+def _default_pool_size():
+    """Actor-pool bounds that never reserve the whole cluster — a pool
+    holding every CPU starves the downstream groupby and stalls the
+    pipeline (observed on small test clusters)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get('CPU', 4)) if ray.is_initialized() else 4
+    return (1, max(2, cpus // 2))
+
+
 def _dedup_pairs(pairs):
     """Global (left, right) pair dedup in 64 hash-bucket group calls."""
 
@@ -235,7 +245,7 @@ def minhash_candidates(ds, column='text', key='doc_id', num_perm=64,
             'bands': bands, 'shingle_k': shingle_k,
         },
         batch_format='pyarrow',
-        concurrency=concurrency or 4,
+        concurrency=concurrency or _default_pool_size(),
     )
     pairs = sig_rows.groupby('band').map_groups(
         lambda g: _band_candidate_pairs(g, key),
@@ -378,7 +388,7 @@ def simhash_dedup(ds, column='text', key='doc_id', max_hamming=3, concurrency=No
         SimHashStage,
         fn_constructor_kwargs={'column': column, 'key': key},
         batch_format='pyarrow',
-        concurrency=concurrency or 4,
+        concurrency=concurrency or _default_pool_size(),
     )
 
     def pairs_in_band(group: pd.DataFrame) -> pd.DataFrame:

@@ -143,7 +143,12 @@ CASES = build_cases()
 
 def run_one(module, builder, value):
     runner = module.FilterRunner(builder(module), value, capture_exc_info=True)
-    return runner.cleaned_data, dict(runner.error_codes), runner.is_valid()
+    # Rendered messages too — the templates must match the reference's.
+    messages = {
+        key: [m['message'] for m in msgs]
+        for key, msgs in runner.errors.items()
+    }
+    return runner.cleaned_data, dict(runner.error_codes), runner.is_valid(), messages
 
 
 @pytest.mark.parametrize(
@@ -162,3 +167,6 @@ def test_differential(reference, name, builder, inputs):
             f'{name}({value!r}): cleaned data differs: ours={ours[0]!r} ref={refs[0]!r}'
         )
         assert ours[2] == refs[2]
+        assert ours[3] == refs[3], (
+            f'{name}({value!r}): messages differ: ours={ours[3]} ref={refs[3]}'
+        )

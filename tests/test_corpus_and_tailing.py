@@ -1,0 +1,93 @@
+"""Corpus-prep composition + CDC micro-batch tailing."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from filters_ray.pipelines.cdc import CDCPipeline
+from filters_ray.pipelines.corpus import prepare_corpus
+from filters_ray.sources.oracle import final_state_digests, replay_oracle
+from filters_ray.sources.synth import SynthConfig, make_events
+
+
+@pytest.mark.usefixtures('ray_session')
+def test_prepare_corpus_pipeline(tmp_path):
+    import ray.data as rd
+
+    docs = [
+        # Good prose, duplicated exactly and near-duplicated.
+        ('the quick brown fox jumps over the lazy dog and keeps running', 'en'),
+        ('the quick brown fox jumps over the lazy dog and keeps running', 'en'),
+        ('the quick brown fox jumps over the lazy cat and keeps running', 'en'),
+        # Good but filtered language.
+        ('der schnelle braune fuchs springt über den faulen hund heute', 'de'),
+        # Junk: too short.
+        ('short', 'en'),
+        # Junk: punctuation soup.
+        ('!!! ??? ;;; ### $$$ %%% ^^^ &&& *** ((( ))) @@@ !!! ??? ;;;', 'en'),
+        # Another distinct good doc.
+        ('completely different content describing ray data pipelines today', 'en'),
+    ]
+    table = pa.table({
+        'doc_id': list(range(len(docs))),
+        'text': [d[0] for d in docs],
+        'lang': [d[1] for d in docs],
+    })
+
+    out, stats = prepare_corpus(
+        rd.from_arrow(table),
+        languages={'en'},
+        # 1.0 = no penalties; 'short' scores 0.6 (length), the punct soup
+        # 0.8 (punct ratio) — 0.9 keeps only clean prose.
+        min_quality=0.9,
+        near_dup_threshold=0.6,
+        output_dir=str(tmp_path / 'corpus'),
+    )
+    result = out.to_pandas()
+    kept = set(result['doc_id'])
+
+    assert 0 in kept           # canonical survivor of the dup cluster
+    assert 1 not in kept       # exact dup removed
+    assert 2 not in kept       # near dup removed
+    assert 3 not in kept       # language-gated
+    assert 4 not in kept       # too short
+    assert 5 not in kept       # punct soup
+    assert 6 in kept
+    assert 'n_tokens_ws' in result.columns
+    assert stats['input_rows'] == 7
+    assert stats['after_near_dedup'] == len(result)
+    # Partitioned output written.
+    import os
+    assert any(f.endswith('.parquet') for f in os.listdir(tmp_path / 'corpus'))
+
+
+@pytest.mark.usefixtures('ray_session')
+def test_cdc_tailing_micro_batches(tmp_path):
+    """Tail the log in 5 sequential micro-batches (the streaming shape);
+    final state must equal one-shot replay and the oracle."""
+    import ray.data as rd
+
+    cfg = SynthConfig(n_keys=100, n_events=1000, n_repos=10, seed=23)
+    log = make_events(cfg)
+    oracle = replay_oracle(log.to_pylist())
+
+    lake = str(tmp_path / 'lake')
+    pipeline = CDCPipeline(lake, num_partitions=8)
+    n = log.num_rows
+    # Micro-batch boundaries must respect the source's disorder bound
+    # (delivery contract: once the checkpoint passes lsn L, no event ≤ L
+    # will ever be delivered again except as a duplicate). The synth log
+    # disorders within 16-event windows, so cut on multiples of 16.
+    step = (n // 5 // 16) * 16
+    starts = list(range(0, n, step))
+    for start in starts:
+        chunk = log.slice(start, min(step, n - start))
+        pipeline.run(rd.from_arrow(chunk))
+
+    assert final_state_digests(pipeline.final_table()) == oracle.sha256_by_key()
+    assert pipeline.rejection_counts() == oracle.rejected_by_code
+
+    # Watermarks advanced monotonically across micro-batches.
+    for m in pipeline.lineage():
+        assert m['hwm_lsn'] >= 0
