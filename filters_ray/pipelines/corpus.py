@@ -30,13 +30,18 @@ def prepare_corpus(
     lang_column: str = 'lang',
     near_dup_threshold: float = 0.8,
     output_dir: Optional[str] = None,
+    collect_stats: bool = True,
 ):
     """Run the full prep pipeline; returns (dataset, stats dict).
 
     With ``output_dir`` the result is also written as partitioned parquet
-    (resumable layout).
+    (resumable layout). ``collect_stats=False`` skips the per-stage
+    ``count()`` actions (each one re-executes the lazy upstream — only
+    pay for them when the numbers are wanted).
     """
-    stats: dict = {'input_rows': ds.count()}
+    stats: dict = {}
+    if collect_stats:
+        stats['input_rows'] = ds.count()
 
     # 1. Quality gate (vectorized scoring inside map_batches).
     def quality_gate(batch: pa.Table) -> pa.Table:
@@ -58,18 +63,21 @@ def prepare_corpus(
 
         ds = ds.map_batches(lang_gate, batch_format='pyarrow')
 
-    stats['after_gates'] = ds.count()
+    if collect_stats:
+        stats['after_gates'] = ds.count()
 
     # 3. Exact dedup (hash partition + per-group first).
     ds = exact_dedup(ds, column=text_column, key=key)
-    stats['after_exact_dedup'] = ds.count()
+    if collect_stats:
+        stats['after_exact_dedup'] = ds.count()
 
     # 4. Near-dup removal (MinHash-LSH + Jaccard verify + components).
     ds, clusters = minhash_dedup(
         ds, column=text_column, key=key, threshold=near_dup_threshold,
     )
     stats['near_dup_clusters'] = len(set(clusters.values())) if clusters else 0
-    stats['after_near_dedup'] = ds.count()
+    if collect_stats:
+        stats['after_near_dedup'] = ds.count()
 
     # 5. Token counting (training-budget accounting).
     ds = ds.map_batches(

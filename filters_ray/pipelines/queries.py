@@ -912,6 +912,20 @@ def cdc_upsert_demo(sf_dir: str):
     return out
 
 
+def corpus_prep_demo(sf_dir: str):
+    """The full training-corpus prep composition over `documents`:
+    quality gate → language gate → exact dedup → MinHash near-dup →
+    token counting (pipelines/corpus.py)."""
+    from .corpus import prepare_corpus
+
+    ds = _read(sf_dir, 'documents', columns=['doc_id', 'text', 'lang'])
+    out, _stats = prepare_corpus(
+        ds, languages={'en', 'de', 'fr', 'es', 'zh'},
+        min_quality=0.5, near_dup_threshold=0.9, collect_stats=False,
+    )
+    return out.select_columns(['doc_id', 'quality_score', 'n_tokens_ws'])
+
+
 def lineitem_seeded_sample(sf_dir: str):
     """Seeded sampling + repartition demo (rows-only: RNG not shared with
     SQL). Returns the sampled rows' aggregate so output is stable."""
@@ -986,6 +1000,7 @@ QUERIES = {
     'cdc_upsert_demo': (cdc_upsert_demo, None),
     'multimodal_decode_demo': (multimodal_decode_demo, None),
     'lineitem_seeded_sample': (lineitem_seeded_sample, None),
+    'corpus_prep_demo': (corpus_prep_demo, None),
 }
 
 
