@@ -546,6 +546,36 @@ class CDCPipeline:
             [('repo', 'ascending'), ('path', 'ascending')],
         )
 
+    def as_dataset(self):
+        """The lake as a streaming ``ray.data.Dataset`` (the reader a
+        downstream pipeline composes with; no driver materialization)."""
+        import ray.data as rd
+
+        paths = [
+            self.store.data_path(pid)
+            for pid in range(self.num_partitions)
+            if os.path.exists(self.store.data_path(pid))
+        ]
+        if not paths:
+            return rd.from_arrow(pa.table({}))
+        return rd.read_parquet(paths)
+
+    def dlq_dataset(self):
+        """The dead-letter dataset (original payload + errors + lsn)."""
+        import ray.data as rd
+
+        paths = []
+        for pid in range(self.num_partitions):
+            dlq_dir = os.path.dirname(self.store.dlq_path(pid))
+            if os.path.isdir(dlq_dir):
+                paths.extend(
+                    os.path.join(dlq_dir, f)
+                    for f in sorted(os.listdir(dlq_dir)) if f.endswith('.parquet')
+                )
+        if not paths:
+            return rd.from_arrow(pa.table({}))
+        return rd.read_parquet(paths)
+
     def rejection_counts(self) -> Dict[str, int]:
         counts: Dict[str, int] = {}
         for manifest in self.store.all_manifests().values():
