@@ -184,6 +184,10 @@ def top10_orders_by_revenue(sf_dir: str):
 
     from ray.data.aggregate import Sum
 
+    # No per-batch partial aggregation here: ~150k distinct orderkeys per
+    # 600k rows means partials shrink the shuffle by only ~4x while adding
+    # a pandas groupby per batch — measured net-negative (unlike Q1's
+    # 6-group case, where partials collapse the shuffle to nothing).
     grouped = (
         ds.map_batches(revenue, batch_format='pyarrow')
         .groupby('l_orderkey')
