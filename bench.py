@@ -118,6 +118,8 @@ def run_headline(num_cpus: int) -> dict:
             t0 = time.time()
             report = pipeline.run(rd.read_parquet(events_path))
             timings.append(time.time() - t0)
+            if os.environ.get('GRAFT_BENCH_STATS'):
+                print(pipeline.last_stats, file=sys.stderr)
         finally:
             shutil.rmtree(lake, ignore_errors=True)
     elapsed = min(timings[1:]) if len(timings) > 1 else timings[0]

@@ -526,6 +526,12 @@ class CDCPipeline:
         report = RunReport()
         for row in summaries.take_all():
             report.merge_row(row)
+        # Per-stage wall/cpu/memory breakdown for the run — the feedback
+        # loop for batch/block-size tuning (`ds.stats()`).
+        try:
+            self.last_stats = summaries.stats()
+        except Exception:  # noqa: BLE001 — observability must not fail a run
+            self.last_stats = None
         return report
 
     # -- inspection (small results; test/driver use) ---------------------

@@ -135,6 +135,53 @@ def build_cases():
         ('mapper_nested', lambda m: m.FilterMapper({
             'data': m.FilterMapper({'street': m.FilterRepeater(m.Unicode | m.NotEmpty)}),
         }), [{'data': {'street': ['a', '', 'c']}}, {'data': 'oops'}, None]),
+        # -- second wave: config variants + traps --------------------------
+        ('type_exact', lambda m: m.Type(int, allow_subclass=False),
+         [1, True, 'x', None, 1.0]),
+        ('type_multi', lambda m: m.Type((int, str)), [1, 'a', 2.5, None, []]),
+        ('length_list', lambda m: m.Length(2), [[1, 2], [1], (1, 2, 3), None, 5]),
+        ('empty_variants', lambda m: m.Empty, [[], {}, (), '', 0, False, None, 'x']),
+        ('optional_empty_default', lambda m: m.Optional(default=[]),
+         [None, '', [1], 0]),
+        # (mixed-type choice sets are untestable: both implementations
+        # raise identically from sorted() in the error path)
+        ('choice_unhashable_input', lambda m: m.Choice(choices={'a', 'b'}),
+         ['a', 'c', ['unhashable'], None]),
+        ('decimal_tuple', lambda m: m.Decimal,
+         [(0, (1, 5), -1), [0, (2, 5), -1], 'x', None]),
+        ('decimal_no_tuple', lambda m: m.Decimal(allow_tuples=False),
+         [(0, (1, 5), -1), '1.5', None]),
+        ('round_down', lambda m: m.Round(to_nearest='10'), ['14', '15', '16', None]),
+        ('round_float_result', lambda m: m.Round(to_nearest='0.5', result_type=float),
+         ['1.3', None]),
+        ('min_str_bound', lambda m: m.Min('m'), ['a', 'z', 'm', None]),
+        ('maxbytes_big_prefix', lambda m: m.MaxBytes(6, prefix='xx'),
+         ['abcdefgh', 'ab', None]),
+        ('regex_precompiled', lambda m: m.Regex(__import__('regex').compile(r'\d+')),
+         ['a12', 'none', None]),
+        ('split_regex_chars', lambda m: m.Split(r'[,;]'), ['a,b;c', 'plain', None]),
+        ('strip_leading_only', lambda m: m.Strip(trailing=None), ['  x  ', None]),
+        ('uuid_braced', lambda m: m.Uuid,
+         ['{3466c56a-2f7e-4e5b-affa-292cbe84c2fb}',
+          'urn:uuid:3466c56a-2f7e-4e5b-affa-292cbe84c2fb', None]),
+        ('unicode_decimal', lambda m: m.Unicode,
+         [__import__('decimal').Decimal('1E+5'), __import__('decimal').Decimal('0.5'), None]),
+        ('bytearray_strings', lambda m: m.ByteArray(encoding='ascii'),
+         ['ok', 'тест', None]),
+        ('repeater_restrict_empty', lambda m: m.FilterRepeater(m.Int, restrict_keys=set()),
+         [['1'], [], None]),
+        ('mapper_none_chain', lambda m: m.FilterMapper(
+            {'id': None}, allow_missing_keys=False),
+         [{'id': 'anything'}, {}, None]),
+        ('mapper_of_repeaters', lambda m: m.FilterMapper({
+            'tags': m.FilterRepeater(m.Unicode | m.MaxLength(3)),
+            'n': m.Int,
+        }), [{'tags': ['ok', 'toolong'], 'n': '5'}, {'tags': 'nope', 'n': 'x'}, None]),
+        ('chain_with_none_member', lambda m: m.Int | None, ['1', 'x', None]),
+        ('datetime_date_input', lambda m: m.Datetime,
+         [__import__('datetime').date(2020, 2, 29), None]),
+        ('date_naive_tz', lambda m: m.Date(timezone=-8),
+         ['2020-01-01 23:30:00', None]),
     ]
 
 
