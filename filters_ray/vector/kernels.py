@@ -581,6 +581,34 @@ def _kernel_datetime(filt) -> Callable[[pa.Array], KernelResult]:
     return kernel
 
 
+_RE_META = set('\\^$.|?*+()[]{}')
+
+
+def _kernel_split(filt: fstring.Split) -> Optional[Callable[[pa.Array], KernelResult]]:
+    """Vectorized Split for literal separators, list output only.
+
+    Python's ``regex.split`` has semantics Arrow's regex splitter lacks
+    (capture groups in the output), so only meta-character-free patterns
+    vectorize via ``pc.split_pattern``; the keys→OrderedDict variant and
+    regex patterns stay scalar.
+    """
+    if filt.keys is not None:
+        return None
+    pattern = filt.regex.pattern
+    if not isinstance(pattern, str) or any(c in _RE_META for c in pattern) \
+            or not pattern:
+        return None
+
+    def kernel(arr: pa.Array) -> KernelResult:
+        if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
+            bad = _not_null_mask(arr)
+            out = pa.nulls(len(arr), type=pa.list_(pa.string()))
+            return KernelResult(out, [(bad, fbase.Type.CODE_WRONG_TYPE, '')] if bad.any() else [])
+        return KernelResult(pc.split_pattern(arr, pattern=pattern))
+
+    return kernel
+
+
 def _kernel_repeater(filt: 'fcomplex.FilterRepeater') -> Callable[[pa.Array], KernelResult]:
     """Vectorized FilterRepeater over list columns.
 
@@ -731,6 +759,7 @@ _VECTOR_BUILDERS: List[Tuple[type, Callable]] = [
     (fstring.Unicode, _kernel_unicode),
     (fstring.MaxBytes, _kernel_maxbytes),
     (fstring.Regex, _kernel_regex),
+    (fstring.Split, _kernel_split),
     (fnumber.Int, _kernel_int),
     (fnumber.Max, _kernel_minmax),
     (fnumber.Min, _kernel_minmax),

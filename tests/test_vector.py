@@ -96,6 +96,10 @@ CASES = [
     ('regex_anchored', lambda: f.Regex(r'^[0-9a-f]{3}$'),
      ['bee', 'xyz', None, '', 'BEE', 'beef'], None),
     ('regex_findall', lambda: f.Regex(r'\d+'), ['a1b22', 'none', None], None),
+    ('split_literal', lambda: f.Split(':'), ['a:b:c', 'solo', '', None, '::'], None),
+    ('split_regex_fallback', lambda: f.Split(r'[,;]'), ['a,b;c', 'x', None], None),
+    ('split_keys_fallback', lambda: f.Split(':', keys=('a', 'b')),
+     ['x:y', 'solo', None], None),
     ('maxbytes', lambda: f.MaxBytes(4), STRINGS, None),
     ('maxbytes_notrunc', lambda: f.MaxBytes(4, truncate=False), STRINGS, None),
     ('uuid', lambda: f.Uuid,
