@@ -14,7 +14,6 @@ Clean-room port of the semantics in SURVEY.md §2.4
 
 from __future__ import annotations
 
-import decimal
 from decimal import Decimal as D, InvalidOperation, ROUND_HALF_UP
 from typing import Any, Optional, Union
 

@@ -14,7 +14,7 @@ Clean-room port of the semantics in SURVEY.md §2.2
 
 from __future__ import annotations
 
-from collections.abc import Iterable, Mapping, Sequence, Sized
+from collections.abc import Iterable, Sequence, Sized
 from datetime import date, datetime, time, tzinfo
 from typing import Any, Optional as TOptional, Union
 

@@ -26,7 +26,7 @@ import unicodedata
 from collections import OrderedDict
 from decimal import Decimal as D
 from itertools import zip_longest
-from typing import Any, Callable, Optional, Sequence, Union
+from typing import Any, Callable, Optional, Sequence
 from uuid import UUID
 from xml.etree.ElementTree import Element, tostring as _xml_tostring
 

@@ -18,7 +18,6 @@ end-to-end.
 from __future__ import annotations
 
 import hashlib
-from typing import Optional
 
 import numpy as np
 import pyarrow as pa

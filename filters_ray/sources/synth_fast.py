@@ -14,7 +14,6 @@ duplicate delivery re-emits the previous row rather than a random one.
 
 from __future__ import annotations
 
-import hashlib
 from typing import List
 
 import numpy as np

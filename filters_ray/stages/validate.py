@@ -25,7 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions import base as fbase
-from ..vector import ColumnErrors, CompiledChain, compile_chain
+from ..vector import CompiledChain, compile_chain
 
 __all__ = [
     'ERRORS_COLUMN',

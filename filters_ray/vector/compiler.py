@@ -13,7 +13,7 @@ SURVEY.md §3.4), apply per batch.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 import pyarrow as pa
