@@ -581,6 +581,84 @@ def _kernel_datetime(filt) -> Callable[[pa.Array], KernelResult]:
     return kernel
 
 
+_UUID_CANON = r'^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$'
+
+
+def _kernel_uuid(filt: fstring.Uuid) -> Callable[[pa.Array], KernelResult]:
+    """Uuid fast path: canonical 8-4-4-4-12 strings validate and
+    canonicalize vectorized; exotic forms (braces, urn:, bare 32-hex,
+    UUID objects) drop to the scalar filter row-wise.
+
+    Vector output is the canonical string form (``str(UUID)``), matching
+    the engine's Arrow representation of UUID values.
+    """
+    scalar_fb = ScalarFallbackKernel(filt)
+    version = filt.version
+
+    def kernel(arr: pa.Array) -> KernelResult:
+        n = len(arr)
+        if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
+            return scalar_fb(arr)
+        canon = _as_bool_ndarray(pc.match_substring_regex(arr, _UUID_CANON), n)
+        rest = ~canon & _not_null_mask(arr)
+        lowered = pc.utf8_lower(
+            pc.if_else(pa.array(canon), arr, pa.scalar(None, type=arr.type)),
+        )
+        errors: List[ErrorEntry] = []
+        out = lowered
+        if version is not None:
+            # Version nibble = hex digit at offset 14 of the canonical form.
+            ver_char = pc.utf8_slice_codeunits(lowered, 14, 15)
+            ok_ver = _as_bool_ndarray(pc.equal(ver_char, format(version, 'x')), n)
+            wrong = canon & ~ok_ver
+            if wrong.any():
+                errors.append((wrong, filt.CODE_WRONG_VERSION, ''))
+                out = pc.if_else(pa.array(~wrong), out, pa.scalar(None, type=pa.string()))
+        if rest.any():
+            res = scalar_fb(arr.filter(pa.array(rest)))
+            idx = np.flatnonzero(rest)
+            out_py = out.to_pylist()
+            sub = res.values.to_pylist()
+            for j, i in enumerate(idx):
+                out_py[i] = sub[j]
+            out = pa.array(out_py, type=pa.string())
+            for mask, code, subkey in res.errors:
+                full = np.zeros(n, dtype=bool)
+                full[idx[mask]] = True
+                errors.append((full, code, subkey))
+        return KernelResult(out, errors)
+
+    return kernel
+
+
+# Strict dotted-quad, 0-255 per octet, NO leading zeros (inet_pton
+# semantics on Linux rejects '01.2.3.4'); RE2-safe.
+_IPV4_OCTET = r'(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])'
+_IPV4_RE = rf'^{_IPV4_OCTET}(\.{_IPV4_OCTET}){{3}}$'
+
+
+def _kernel_ip(filt: fstring.IpAddress) -> Optional[Callable[[pa.Array], KernelResult]]:
+    """IPv4-only configuration vectorizes (strict dotted-quad regex —
+    equivalent to inet_pton(AF_INET) for string input); any config
+    accepting IPv6 needs normalization and stays scalar."""
+    if filt.ipv6 or not filt.ipv4:
+        return None
+
+    def kernel(arr: pa.Array) -> KernelResult:
+        n = len(arr)
+        if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
+            bad = _not_null_mask(arr)
+            return KernelResult(_null_like(arr), [(bad, fbase.Type.CODE_WRONG_TYPE, '')] if bad.any() else [])
+        ok = _as_bool_ndarray(pc.match_substring_regex(arr, _IPV4_RE), n)
+        bad = ~ok & _not_null_mask(arr)
+        return KernelResult(
+            _nullify(arr, bad),
+            [(bad, filt.CODE_INVALID, '')] if bad.any() else [],
+        )
+
+    return kernel
+
+
 _RE_META = set('\\^$.|?*+()[]{}')
 
 
@@ -760,6 +838,8 @@ _VECTOR_BUILDERS: List[Tuple[type, Callable]] = [
     (fstring.MaxBytes, _kernel_maxbytes),
     (fstring.Regex, _kernel_regex),
     (fstring.Split, _kernel_split),
+    (fstring.Uuid, _kernel_uuid),
+    (fstring.IpAddress, _kernel_ip),
     (fnumber.Int, _kernel_int),
     (fnumber.Max, _kernel_minmax),
     (fnumber.Min, _kernel_minmax),

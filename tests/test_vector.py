@@ -104,6 +104,18 @@ CASES = [
     ('maxbytes_notrunc', lambda: f.MaxBytes(4, truncate=False), STRINGS, None),
     ('uuid', lambda: f.Uuid,
      ['3466c56a-2f7e-4e5b-affa-292cbe84c2fb', 'nope', None, ''], None),
+    ('uuid_forms', lambda: f.Uuid,
+     ['3466C56A-2F7E-4E5B-AFFA-292CBE84C2FB',
+      '{3466c56a-2f7e-4e5b-affa-292cbe84c2fb}',
+      'urn:uuid:3466c56a-2f7e-4e5b-affa-292cbe84c2fb',
+      '3466c56a2f7e4e5baffa292cbe84c2fb', 'zz', None], None),
+    ('uuid_v4', lambda: f.Uuid(version=4),
+     ['3466c56a-2f7e-4e5b-affa-292cbe84c2fb',   # v4
+      '2830f705-d496-1b2b-b4ea-3cfcd5ad2c5e',   # v1 → wrong_version
+      'nope', None], None),
+    ('ipv4', lambda: f.IpAddress,
+     ['127.0.0.1', '255.255.255.255', '256.1.1.1', '01.2.3.4', '1.2.3',
+      '1.2.3.4.5', '::1', '', None, '0.0.0.0'], None),
     ('base64', lambda: f.Base64Decode, [b'aGVsbG8=', b'!!!', None, b'-_-_'], pa.binary()),
     ('datetime_naive', lambda: f.Datetime(naive=True),
      ['2015-05-11T14:56:58-05:00', 'nope', None, '2020-01-01'], None),
