@@ -254,12 +254,25 @@ def parts_by_brand_stats(sf_dir: str):
         Min('p_size', alias_name='min_size'),
         Max('p_size', alias_name='max_size'),
     )
-    return out
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # Pin integer widths to int64 on both sides: DuckDB's min(int32)
+        # stays int32 while Ray aggregates widen — dtype-sensitive value
+        # hashing must see identical types.
+        return pa.table({
+            'p_brand': batch.column('p_brand'),
+            'n_parts': pc.cast(batch.column('n_parts'), pa.int64()),
+            'min_size': pc.cast(batch.column('min_size'), pa.int64()),
+            'max_size': pc.cast(batch.column('max_size'), pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format='pyarrow')
 
 
 PARTS_BY_BRAND_SQL = """
-SELECT p_brand, count(*) AS n_parts, min(p_size) AS min_size,
-       max(p_size) AS max_size
+SELECT p_brand, count(*) AS n_parts,
+       CAST(min(p_size) AS BIGINT) AS min_size,
+       CAST(max(p_size) AS BIGINT) AS max_size
 FROM part GROUP BY p_brand
 """
 
@@ -449,7 +462,9 @@ def events_json_props(sf_dir: str):
 
 
 EVENTS_JSON_SQL = """
-SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k
 FROM events GROUP BY event_type
 """
 
@@ -486,8 +501,8 @@ WITH flagged AS (
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
     SELECT user_id, event_id, ts,
-           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session
+           CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session
     FROM flagged
 )
 SELECT user_id, session, min(ts) AS session_start, max(ts) AS session_end,

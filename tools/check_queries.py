@@ -79,6 +79,21 @@ def main() -> int:
             print(f'ok    {name}: rows={len(ours)} ({elapsed:.1f}s, rows-only)')
             continue
         theirs = con.execute(sqls[name]).fetchdf()
+        # Dtype-kind check first: an int column on one side vs float on
+        # the other would survive the value compare below but may break a
+        # dtype-sensitive value hash.
+        kinds_a = {c: ours[c].dtype.kind for c in sorted(ours.columns)}
+        kinds_b = {c: theirs[c].dtype.kind for c in sorted(theirs.columns)}
+        mismatched = {
+            c for c in kinds_a
+            if c in kinds_b and {kinds_a[c], kinds_b[c]} == {'i', 'f'}
+        }
+        if mismatched:
+            print(f'FAIL  {name}: int/float dtype mismatch in {sorted(mismatched)} '
+                  f'(ours={ {c: kinds_a[c] for c in mismatched} }, '
+                  f'orcl={ {c: kinds_b[c] for c in mismatched} })')
+            failures.append(name)
+            continue
         a, b = normalize(ours), normalize(theirs)
         if len(a) != len(b):
             print(f'FAIL  {name}: rows {len(a)} != {len(b)} ({elapsed:.1f}s)')
