@@ -323,8 +323,16 @@ def _last_writer_wins(table: pa.Table) -> pa.Table:
     return table.filter(pa.array(is_last))
 
 
-def make_upsert_fn(lake_root: str):
-    """Build the per-partition map_groups function (closure: picklable)."""
+def make_upsert_fn(lake_root: str, redrive: bool = False):
+    """Build the per-partition map_groups function (closure: picklable).
+
+    ``redrive=True`` is the dead-letter replay mode: the incoming group IS
+    the partition's (re-validated) DLQ, so the watermark filter is skipped
+    (DLQ'd events never applied, though the watermark passed them) and the
+    partition's DLQ directory is REWRITTEN to contain only the rows that
+    are still invalid. LWW against the base still protects ordering: a
+    redriven event older than the current row loses the merge.
+    """
 
     def upsert_partition(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
@@ -336,18 +344,22 @@ def make_upsert_fn(lake_root: str):
 
         seen = group.num_rows
 
-        # 1. Watermark drop: already-applied events (duplicate delivery /
-        #    replay overlap). The raw LSN is the event identity (globally
-        #    unique — FIXTURES.md §2). Corrupt LSNs (null / negative) are
-        #    unwatermarkable: they always pass here and are deduplicated at
-        #    DLQ-count time instead (they can never reach the lake — the
-        #    lsn chain rejects them).
-        raw_lsn = group.column(RAW_LSN_COLUMN)
-        fresh_mask = pc.fill_null(
-            pc.or_(pc.greater(raw_lsn, hwm), pc.less(raw_lsn, 0)), True,
-        )
-        fresh = group.filter(fresh_mask)
-        skipped = seen - fresh.num_rows
+        if redrive:
+            fresh = _dedup_by_lsn(group)
+            skipped = seen - fresh.num_rows
+        else:
+            # 1. Watermark drop: already-applied events (duplicate
+            #    delivery / replay overlap). The raw LSN is the event
+            #    identity (globally unique — FIXTURES.md §2). Corrupt LSNs
+            #    (null / negative) are unwatermarkable: they always pass
+            #    here and are deduplicated at DLQ-count time instead (they
+            #    can never reach the lake — the lsn chain rejects them).
+            raw_lsn = group.column(RAW_LSN_COLUMN)
+            fresh_mask = pc.fill_null(
+                pc.or_(pc.greater(raw_lsn, hwm), pc.less(raw_lsn, 0)), True,
+            )
+            fresh = group.filter(fresh_mask)
+            skipped = seen - fresh.num_rows
 
         # 2. Clean / DLQ split.
         has_errors = pc.greater(
@@ -355,6 +367,14 @@ def make_upsert_fn(lake_root: str):
         )
         clean = fresh.filter(pc.invert(has_errors))
         dlq = fresh.filter(has_errors)
+
+        dlq_dir = os.path.dirname(store.dlq_path(pid))
+        if redrive:
+            # Rewrite the DLQ wholesale: only still-invalid rows remain.
+            if os.path.isdir(dlq_dir):
+                for name in os.listdir(dlq_dir):
+                    if name.endswith('.parquet'):
+                        os.remove(os.path.join(dlq_dir, name))
 
         # 3. DLQ write — range-keyed file, deterministic per replay window.
         #    Dedup deliveries by event identity (raw lsn) first: a
@@ -364,7 +384,6 @@ def make_upsert_fn(lake_root: str):
             lsns = [v for v in dlq.column(RAW_LSN_COLUMN).to_pylist() if v is not None]
             lo = min(lsns) if lsns else 0
             hi = max(lsns) if lsns else 0
-            dlq_dir = os.path.dirname(store.dlq_path(pid))
             os.makedirs(dlq_dir, exist_ok=True)
             dlq_out = dlq.select([ORIGINAL_COLUMN, ERRORS_COLUMN, RAW_LSN_COLUMN])
             dlq_out = dlq_out.sort_by([(RAW_LSN_COLUMN, 'ascending')])
@@ -376,9 +395,7 @@ def make_upsert_fn(lake_root: str):
         # Aggregate DLQ counts over all range files, deduplicated by event
         # identity — replaying a window re-writes overlapping files but
         # each unique lsn counts once.
-        rejected_total = _aggregate_dlq_counts(
-            os.path.dirname(store.dlq_path(pid)),
-        )
+        rejected_total = _aggregate_dlq_counts(dlq_dir)
 
         # 4. LWW merge against the base partition.
         applied = clean.num_rows
@@ -551,6 +568,62 @@ class CDCPipeline:
         return pa.concat_tables([align_table(t, schema) for t in tables]).sort_by(
             [('repo', 'ascending'), ('path', 'ascending')],
         )
+
+    def replay_dlq(
+        self,
+        langs: Optional[List[str]] = None,
+        allow_extra_keys: Union[bool, List[str], None] = None,
+    ) -> 'RunReport':
+        """Dead-letter redrive: re-validate every DLQ'd event under a
+        (typically widened) chain config and upsert the now-valid ones.
+
+        Rows that validate are merged into the lake (LWW vs the base
+        still applies, so a redriven event never overrides a newer
+        writer); rows that still fail remain the partition's entire DLQ
+        (files rewritten; rejection counts shrink accordingly).
+        """
+        import ray.data as rd
+
+        dlq = self.dlq_dataset()
+        if dlq.count() == 0:
+            return RunReport()
+
+        def reconstruct(batch: pa.Table) -> pa.Table:
+            rows = [json.loads(s) for s in batch.column(ORIGINAL_COLUMN).to_pylist()]
+            cols = ['lsn', 'op', 'repo', 'path', 'commit', 'lang', 'content']
+            extras = sorted({k for r in rows for k in r} - set(cols))
+            out = {}
+            out['lsn'] = pa.array(
+                [r.get('lsn') if isinstance(r.get('lsn'), int) else None for r in rows],
+                type=pa.int64(),
+            )
+            for c in cols[1:] + extras:
+                out[c] = pa.array(
+                    [None if r.get(c) is None else str(r.get(c)) for r in rows],
+                    type=pa.string(),
+                )
+            return pa.table(out)
+
+        events = dlq.map_batches(reconstruct, batch_format='pyarrow')
+
+        validated = events.map_batches(
+            _make_validate_fn(
+                self.num_partitions,
+                langs if langs is not None else self.langs,
+                allow_extra_keys if allow_extra_keys is not None else self.allow_extra_keys,
+            ),
+            batch_format='pyarrow',
+            batch_size=self.batch_size,
+            zero_copy_batch=True,
+        )
+        summaries = validated.groupby(PART_COLUMN).map_groups(
+            make_upsert_fn(self.lake_root, redrive=True),
+            batch_format='pyarrow',
+        )
+        report = RunReport()
+        for row in summaries.take_all():
+            report.merge_row(row)
+        return report
 
     def as_dataset(self):
         """The lake as a streaming ``ray.data.Dataset`` (the reader a
