@@ -54,6 +54,49 @@ def test_vector_scalar_parity_random_strings(column):
         assert got_vals[i] == to_arrow_value(runner.cleaned_data), (i, value)
 
 
+def _record_strategy():
+    scalar = st.one_of(
+        st.none(), st.integers(-5, 5), st.text(max_size=8),
+        st.floats(allow_nan=False, allow_infinity=False, width=16),
+        st.booleans(), st.lists(st.text(max_size=4), max_size=3),
+    )
+    keys = st.sampled_from(['id', 'name', 'tags', 'extra1', 'extra2'])
+    return st.dictionaries(keys, scalar, max_size=5)
+
+
+@settings(max_examples=150, deadline=None)
+@given(record=st.one_of(st.none(), _record_strategy(),
+                        st.integers(), st.text(max_size=5)))
+def test_mapper_fuzz_vs_reference(record):
+    """Arbitrary records through an eclectic FilterMapper: our library
+    and the reference must agree on codes, values AND messages."""
+    import sys
+    sys.path.insert(0, 'tests')
+    from conftest import load_reference_filters
+    ref = load_reference_filters()
+    if ref is None:
+        return
+
+    def build(m):
+        return m.FilterMapper(
+            {
+                'id': m.Required | m.Int | m.Max(3),
+                'name': m.Unicode | m.Strip | m.MaxLength(5),
+                'tags': m.FilterRepeater(m.Unicode | m.NotEmpty),
+            },
+            allow_missing_keys={'tags'},
+            allow_extra_keys={'extra1'},
+        )
+
+    ours = f.FilterRunner(build(f), record, capture_exc_info=True)
+    theirs = ref.FilterRunner(build(ref), record, capture_exc_info=True)
+    assert dict(ours.error_codes) == dict(theirs.error_codes), record
+    assert ours.cleaned_data == theirs.cleaned_data, record
+    our_msgs = {k: [m['message'] for m in v] for k, v in ours.errors.items()}
+    ref_msgs = {k: [m['message'] for m in v] for k, v in theirs.errors.items()}
+    assert our_msgs == ref_msgs, record
+
+
 @settings(max_examples=30, deadline=None)
 @given(seed=st.integers(min_value=0, max_value=2**31 - 1))
 def test_lww_final_state_order_independent(seed):
