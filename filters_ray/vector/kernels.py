@@ -581,6 +581,27 @@ def _kernel_datetime(filt) -> Callable[[pa.Array], KernelResult]:
     return kernel
 
 
+def _kernel_bytearray(filt: fsimple.ByteArray) -> Optional[Callable[[pa.Array], KernelResult]]:
+    """ByteArray fast path: binary columns pass through, UTF-8 strings
+    cast zero-copy to binary. Non-UTF-8 encodings and list<int> inputs
+    keep exact scalar semantics (per-element range errors)."""
+    if filt.encoding.lower().replace('-', '') != 'utf8':
+        return None
+    scalar_fb = ScalarFallbackKernel(filt)
+
+    def kernel(arr: pa.Array) -> KernelResult:
+        t = arr.type
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            return KernelResult(arr)
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            # Any valid str encodes cleanly to UTF-8 (bad_encoding is
+            # impossible for this encoding) — zero-copy cast.
+            return KernelResult(arr.cast(pa.binary()))
+        return scalar_fb(arr)
+
+    return kernel
+
+
 _UUID_CANON = r'^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$'
 
 
@@ -830,6 +851,7 @@ _VECTOR_BUILDERS: List[Tuple[type, Callable]] = [
     (fsimple.MaxLength, _kernel_lengths),
     (fsimple.MinLength, _kernel_lengths),
     (fsimple.Choice, _kernel_choice),
+    (fsimple.ByteArray, _kernel_bytearray),
     (fsimple.NoOp, _kernel_noop),
     (fstring.CaseFold, _kernel_casefold),
     (fstring.Strip, _kernel_strip),

@@ -117,6 +117,10 @@ CASES = [
      ['127.0.0.1', '255.255.255.255', '256.1.1.1', '01.2.3.4', '1.2.3',
       '1.2.3.4.5', '::1', '', None, '0.0.0.0'], None),
     ('base64', lambda: f.Base64Decode, [b'aGVsbG8=', b'!!!', None, b'-_-_'], pa.binary()),
+    ('bytearray_str', lambda: f.ByteArray, ['abc', 'тест', '', None], None),
+    ('bytearray_bin', lambda: f.ByteArray, [b'ok', b'', None], pa.binary()),
+    ('bytearray_listint', lambda: f.ByteArray,
+     [[65, 66], [300], [-1, 65], [], None], pa.list_(pa.int64())),
     ('datetime_naive', lambda: f.Datetime(naive=True),
      ['2015-05-11T14:56:58-05:00', 'nope', None, '2020-01-01'], None),
     ('datetime_iso_fast', lambda: f.Datetime(naive=True),
