@@ -455,7 +455,7 @@ def events_json_props(sf_dir: str):
     from ray.data.aggregate import Sum
 
     return (
-        ds.map_batches(DecodeProps, batch_format='pyarrow', concurrency=2)
+        ds.map_batches(DecodeProps, batch_format='pyarrow', concurrency=(1, 2))
         .groupby('event_type')
         .aggregate(Sum('k', alias_name='sum_k'))
     )
@@ -634,7 +634,7 @@ def docs_reject_counts(sf_dir: str):
     from ray.data.aggregate import Sum
 
     return (
-        ds.map_batches(Validate, batch_format='pyarrow', concurrency=2)
+        ds.map_batches(Validate, batch_format='pyarrow', concurrency=(1, 2))
         .groupby('code')
         .aggregate(Sum('n', alias_name='n'))
     )
@@ -802,7 +802,7 @@ def docs_lang_id(sf_dir: str):
     ds = _read(sf_dir, 'documents', columns=['doc_id', 'text'])
     out = ds.map_batches(
         LangIdStage, fn_constructor_kwargs={'column': 'text'},
-        batch_format='pyarrow', concurrency=2,
+        batch_format='pyarrow', concurrency=(1, 2),
     )
     return out.select_columns(['doc_id', 'lang_pred', 'lang_conf'])
 
@@ -976,7 +976,7 @@ def multimodal_decode_demo(sf_dir: str):
     ds = rd.from_arrow(table)
     out = ds.map_batches(
         DecodeImageStage, fn_constructor_kwargs={'strict': False},
-        batch_format='pyarrow', batch_size=16, concurrency=2,
+        batch_format='pyarrow', batch_size=16, concurrency=(1, 2),
     )
     return out
 
