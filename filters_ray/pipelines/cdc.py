@@ -369,16 +369,16 @@ def make_upsert_fn(lake_root: str, redrive: bool = False):
         dlq = fresh.filter(has_errors)
 
         dlq_dir = os.path.dirname(store.dlq_path(pid))
-        if redrive:
-            # Rewrite the DLQ wholesale: only still-invalid rows remain.
-            if os.path.isdir(dlq_dir):
-                for name in os.listdir(dlq_dir):
-                    if name.endswith('.parquet'):
-                        os.remove(os.path.join(dlq_dir, name))
 
         # 3. DLQ write — range-keyed file, deterministic per replay window.
         #    Dedup deliveries by event identity (raw lsn) first: a
         #    re-delivered invalid event is one rejection, not two.
+        #    In redrive mode the swap is DEFERRED: the replacement file
+        #    stays at its tmp name and obsolete files are removed only
+        #    AFTER the manifest commit, so a crash mid-redrive never loses
+        #    dead-letter rows (ADVICE r1: atomic redrive swap).
+        new_dlq_tmp = None
+        new_dlq_final = None
         if dlq.num_rows:
             dlq = _dedup_by_lsn(dlq)
             lsns = [v for v in dlq.column(RAW_LSN_COLUMN).to_pylist() if v is not None]
@@ -390,12 +390,20 @@ def make_upsert_fn(lake_root: str, redrive: bool = False):
             final = os.path.join(dlq_dir, f'dlq-{lo}-{hi}.parquet')
             tmp = final + '.tmp'
             pq.write_table(dlq_out, tmp)
-            os.replace(tmp, final)
+            if redrive:
+                new_dlq_tmp, new_dlq_final = tmp, final
+            else:
+                os.replace(tmp, final)
 
-        # Aggregate DLQ counts over all range files, deduplicated by event
-        # identity — replaying a window re-writes overlapping files but
-        # each unique lsn counts once.
-        rejected_total = _aggregate_dlq_counts(dlq_dir)
+        if redrive:
+            # The re-validated group IS the whole DLQ: the replacement
+            # file alone defines the new rejection counts.
+            rejected_total = _dlq_counts(dlq) if dlq.num_rows else {}
+        else:
+            # Aggregate DLQ counts over all range files, deduplicated by
+            # event identity — replaying a window re-writes overlapping
+            # files but each unique lsn counts once.
+            rejected_total = _aggregate_dlq_counts(dlq_dir)
 
         # 4. LWW merge against the base partition.
         applied = clean.num_rows
@@ -460,6 +468,20 @@ def make_upsert_fn(lake_root: str, redrive: bool = False):
             events_skipped=int(skipped),
         )
         store.commit_partition(manifest, tmp_data)
+
+        if redrive:
+            # Manifest committed — now swap the DLQ atomically: promote
+            # the replacement file, then drop obsolete range files. A
+            # crash before this point leaves the old DLQ intact (redrive
+            # re-runs idempotently); after it, the lake and manifest
+            # already reflect the redriven rows.
+            keep = os.path.basename(new_dlq_final) if new_dlq_final else None
+            if new_dlq_tmp is not None:
+                os.replace(new_dlq_tmp, new_dlq_final)
+            if os.path.isdir(dlq_dir):
+                for name in os.listdir(dlq_dir):
+                    if name.endswith('.parquet') and name != keep:
+                        os.remove(os.path.join(dlq_dir, name))
 
         return _summary_row(
             pid, seen, applied, skipped, alive.num_rows, rejected_total,

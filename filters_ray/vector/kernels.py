@@ -433,10 +433,80 @@ def _kernel_minmax(filt) -> Callable[[pa.Array], KernelResult]:
     return kernel
 
 
+def _regex_baseline_flags() -> frozenset:
+    """Flag values the vector Regex path accepts (plain UNICODE compiles)."""
+    import re as _stdlib_re
+
+    import regex as _regex_mod
+
+    return frozenset({
+        _regex_mod.compile('x', _regex_mod.UNICODE).flags,
+        _regex_mod.compile('x').flags,
+        _stdlib_re.compile('x').flags,
+    })
+
+
+_REGEX_PLAIN_FLAGS = _regex_baseline_flags()
+
+
+def _is_whole_string_anchored(pattern: str) -> bool:
+    """True iff a match of ``pattern`` is provably the whole string:
+    ``^...$``-anchored, the trailing ``$`` unescaped, and no top-level
+    (outside any group / char class) ``|``, ``^`` or ``$`` in between —
+    so e.g. ``^a|b$`` and ``^a\\$`` correctly stay scalar."""
+    if not (pattern.startswith('^') and pattern.endswith('$')) or len(pattern) < 2:
+        return False
+    bs = 0
+    j = len(pattern) - 2
+    while j >= 0 and pattern[j] == '\\':
+        bs += 1
+        j -= 1
+    if bs % 2:
+        return False  # trailing $ is escaped — not an anchor
+    depth = 0
+    in_class = False
+    i = 1
+    end = len(pattern) - 1
+    while i < end:
+        c = pattern[i]
+        if c == '\\':
+            i += 2
+            continue
+        if in_class:
+            if c == ']':
+                in_class = False
+        elif c == '[':
+            in_class = True
+        elif c == '(':
+            depth += 1
+        elif c == ')':
+            depth -= 1
+        elif depth == 0 and c in '|^$':
+            return False
+        i += 1
+    return True
+
+
 def _kernel_regex(filt: fstring.Regex) -> Optional[Callable[[pa.Array], KernelResult]]:
+    """Hybrid Regex kernel: RE2 (pc.match_substring_regex) for the rows
+    where RE2 and Python ``regex`` semantics provably agree; everything
+    else row-routes to the scalar filter.
+
+    Divergences handled (ADVICE r1):
+    * compiled-in flags (IGNORECASE/MULTILINE/...) — whole kernel scalar;
+    * Unicode classes (``\\w`` matches 'é' in Python, not in RE2) — any
+      row containing a non-ASCII character goes scalar;
+    * Python's ``$`` matches before a trailing newline, RE2's does not —
+      any row ending in ``\\n`` goes scalar;
+    * ``^a|b$`` / ``^a\\$`` are not whole-string anchors — whole kernel
+      scalar (via :func:`_is_whole_string_anchored`).
+    """
     pattern = filt.regex.pattern
-    if not (isinstance(pattern, str) and pattern.startswith('^') and pattern.endswith('$')):
+    if not (isinstance(pattern, str) and _is_whole_string_anchored(pattern)):
         return None  # only fully-anchored patterns vectorize; rest falls back
+    if getattr(filt.regex, 'flags', None) not in _REGEX_PLAIN_FLAGS:
+        return None  # IGNORECASE etc. would be silently dropped by RE2
+    scalar_fb = ScalarFallbackKernel(filt)
 
     def kernel(arr: pa.Array) -> KernelResult:
         n = len(arr)
@@ -444,12 +514,20 @@ def _kernel_regex(filt: fstring.Regex) -> Optional[Callable[[pa.Array], KernelRe
             bad = _not_null_mask(arr)
             out = pa.nulls(n, type=pa.list_(pa.string()))
             return KernelResult(out, [(bad, fbase.Type.CODE_WRONG_TYPE, '')] if bad.any() else [])
+        not_null = _not_null_mask(arr)
+        # Rows where RE2 may disagree with Python regex → scalar path.
+        ascii_only = _as_bool_ndarray(
+            pc.equal(pc.utf8_length(arr), pc.binary_length(arr)), n,
+        )
+        trailing_nl = _as_bool_ndarray(pc.ends_with(arr, pattern='\n'), n)
+        rest = not_null & (~ascii_only | trailing_nl)
+        vec = not_null & ~rest
         try:
             matched = pc.match_substring_regex(arr, pattern)
         except pa.ArrowInvalid:
-            return ScalarFallbackKernel(filt)(arr)
-        ok = _as_bool_ndarray(matched, n)
-        bad = ~ok & _not_null_mask(arr)
+            return scalar_fb(arr)
+        ok = _as_bool_ndarray(matched, n) & vec
+        bad = ~ok & vec
         # Anchored pattern ⇒ the single match is the whole string: wrap it.
         singles = pc.if_else(pa.array(ok), arr, pa.scalar(None, type=arr.type))
         offsets = np.zeros(n + 1, dtype=np.int32)
@@ -459,10 +537,20 @@ def _kernel_regex(filt: fstring.Regex) -> Optional[Callable[[pa.Array], KernelRe
         # Null out rows that were null or invalid.
         keep = pa.array(ok)
         wrapped = pc.if_else(keep, wrapped, pa.scalar(None, type=wrapped.type))
-        return KernelResult(
-            wrapped,
-            [(bad, filt.CODE_INVALID, '')] if bad.any() else [],
-        )
+        errors: List[ErrorEntry] = [(bad, filt.CODE_INVALID, '')] if bad.any() else []
+        if rest.any():
+            res = scalar_fb(arr.filter(pa.array(rest)))
+            idx = np.flatnonzero(rest)
+            out_py = wrapped.to_pylist()
+            sub = res.values.to_pylist()
+            for j, i in enumerate(idx):
+                out_py[i] = sub[j]
+            wrapped = pa.array(out_py, type=pa.list_(pa.string()))
+            for mask, code, subkey in res.errors:
+                full = np.zeros(n, dtype=bool)
+                full[idx[mask]] = True
+                errors.append((full, code, subkey))
+        return KernelResult(wrapped, errors)
 
     return kernel
 
@@ -622,6 +710,19 @@ def _kernel_uuid(filt: fstring.Uuid) -> Callable[[pa.Array], KernelResult]:
             return scalar_fb(arr)
         canon = _as_bool_ndarray(pc.match_substring_regex(arr, _UUID_CANON), n)
         rest = ~canon & _not_null_mask(arr)
+        if version is not None:
+            # UUID.version is only meaningful for the RFC-4122 variant
+            # (variant nibble at offset 19 in [89ab]); for other variants
+            # the scalar filter sees version=None and rejects — route
+            # those rows to the scalar path for exact parity.
+            var_char = pc.utf8_slice_codeunits(pc.utf8_lower(arr), 19, 20)
+            rfc = _as_bool_ndarray(
+                pc.is_in(var_char, value_set=pa.array(['8', '9', 'a', 'b'])), n,
+            )
+            non_rfc = canon & ~rfc
+            if non_rfc.any():
+                canon &= rfc
+                rest |= non_rfc
         lowered = pc.utf8_lower(
             pc.if_else(pa.array(canon), arr, pa.scalar(None, type=arr.type)),
         )
@@ -732,8 +833,15 @@ def _kernel_repeater(filt: 'fcomplex.FilterRepeater') -> Callable[[pa.Array], Ke
             # Mappings / other iterables / wrong types: scalar semantics.
             return scalar_fb(arr)
         n = len(arr)
+        # ``arr.values`` ignores slicing (returns the full unsliced child);
+        # restrict to the slice window and rebase offsets to 0 so sliced
+        # batches (which Ray Data block slicing produces) don't process —
+        # or misattribute errors from — out-of-window elements.
         offsets = np.asarray(arr.offsets)
-        flat = arr.values
+        base = int(offsets[0])
+        flat = arr.values.slice(base, int(offsets[-1]) - base)
+        if base:
+            offsets = offsets - base
         out_flat, elem_errors = chain.apply_column(flat)
 
         # Map flat-element errors back to (row, index-within-row) keys.
@@ -827,7 +935,9 @@ class ScalarFallbackKernel:
             out.append(to_arrow_value(result))
         try:
             out_arr = pa.array(out, type=self._output_type)
-        except (pa.ArrowInvalid, pa.ArrowTypeError):
+        except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError, ValueError):
+            # OverflowError: Python ints beyond int64 (scalar Int accepts
+            # arbitrary precision) — stringify rather than crash the task.
             out_arr = pa.array([None if v is None else str(v) for v in out], type=pa.string())
         errors: List[ErrorEntry] = []
         for (code, subkey), rows in any_error_rows.items():

@@ -12,6 +12,7 @@ import decimal
 
 import pyarrow as pa
 import pytest
+import regex as _regex
 
 import filters_ray as f
 from filters_ray.vector import compile_chain
@@ -96,6 +97,19 @@ CASES = [
     ('regex_anchored', lambda: f.Regex(r'^[0-9a-f]{3}$'),
      ['bee', 'xyz', None, '', 'BEE', 'beef'], None),
     ('regex_findall', lambda: f.Regex(r'\d+'), ['a1b22', 'none', None], None),
+    # RE2-vs-Python-regex divergence battery (ADVICE r1): trailing
+    # newline ($ semantics), Unicode classes, compiled-in flags,
+    # top-level alternation, escaped trailing $.
+    ('regex_trailing_newline', lambda: f.Regex(r'^[0-9a-f]{3}$'),
+     ['abc\n', 'abc', 'abc\n\n', 'xyz\n', None, ''], None),
+    ('regex_unicode_classes', lambda: f.Regex(r'^\w+$'),
+     ['héllo', 'hi', 'дом', '!!', None, 'a b'], None),
+    ('regex_ignorecase', lambda: f.Regex(_regex.compile(r'^abc$', _regex.IGNORECASE)),
+     ['ABC', 'abc', 'x', None], None),
+    ('regex_top_alternation', lambda: f.Regex(r'^a|b$'),
+     ['xb', 'a', 'ab', 'q', None], None),
+    ('regex_escaped_dollar', lambda: f.Regex(r'^\d+\$'),
+     ['12$x', '12$', 'x', None], None),
     ('split_literal', lambda: f.Split(':'), ['a:b:c', 'solo', '', None, '::'], None),
     ('split_regex_fallback', lambda: f.Split(r'[,;]'), ['a,b;c', 'x', None], None),
     ('split_keys_fallback', lambda: f.Split(':', keys=('a', 'b')),
@@ -113,6 +127,14 @@ CASES = [
      ['3466c56a-2f7e-4e5b-affa-292cbe84c2fb',   # v4
       '2830f705-d496-1b2b-b4ea-3cfcd5ad2c5e',   # v1 → wrong_version
       'nope', None], None),
+    # Non-RFC-4122 variants: UUID.version is None there, so version=4
+    # must reject them (wrong_version) even with a '4' version nibble.
+    ('uuid_v4_non_rfc_variant', lambda: f.Uuid(version=4),
+     ['aaaaaaaa-aaaa-4aaa-0aaa-aaaaaaaaaaaa',   # NCS variant
+      'aaaaaaaa-aaaa-4aaa-8aaa-aaaaaaaaaaaa',   # RFC-4122 → ok
+      'aaaaaaaa-aaaa-4aaa-caaa-aaaaaaaaaaaa',   # Microsoft variant
+      'aaaaaaaa-aaaa-4aaa-eaaa-aaaaaaaaaaaa',   # future variant
+      None], None),
     ('ipv4', lambda: f.IpAddress,
      ['127.0.0.1', '255.255.255.255', '256.1.1.1', '01.2.3.4', '1.2.3',
       '1.2.3.4.5', '::1', '', None, '0.0.0.0'], None),
@@ -170,6 +192,27 @@ def test_compiled_chain_reuse():
         out, errors = compiled.apply_column(pa.array(['1', '9', None]))
         assert out.to_pylist() == [1, None, None]
         assert errors.codes_per_row() == [[], [('', 'too_big')], []]
+
+
+def test_repeater_sliced_list_column():
+    """Sliced ListArray batches (Ray block slicing) must only process —
+    and attribute errors to — in-window elements (ADVICE r1)."""
+    full = pa.array([[1, 2], [3, -1], [5], [6, -2]])
+    compiled = compile_chain(f.FilterRepeater(f.Min(0)))
+    out, errors = compiled.apply_column(full.slice(2))
+    assert out.to_pylist() == [[5], [6, None]]
+    assert errors.codes_per_row() == [[], [('1', 'too_small')]]
+
+
+def test_int_overflow_survives_arrow():
+    """Python ints beyond int64 must take the stringify fallback, not
+    crash the validate task (ADVICE r1: OverflowError path)."""
+    compiled = compile_chain(f.Int)
+    out, errors = compiled.apply_column(
+        pa.array(['99999999999999999999999999', '5']),
+    )
+    assert errors.codes_per_row() == [[], []]
+    assert out.to_pylist() == ['99999999999999999999999999', '5']
 
 
 def test_large_column_fastpath():
