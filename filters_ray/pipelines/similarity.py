@@ -22,8 +22,32 @@ __all__ = ['knn_brute_force', 'IvfIndex', 'knn_ivf', 'train_centroids']
 
 
 def _as_matrix(col) -> np.ndarray:
-    rows = col.to_pylist()
-    return np.asarray(rows, dtype=np.float64)
+    """Embedding column → (n, dim) float64 matrix, zero-copy where the
+    layout allows (fixed-size lists, or uniform-width lists: reshape the
+    flat values buffer — VERDICT r1 #9, no ``to_pylist`` round-trip)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_fixed_size_list(t):
+        flat = np.asarray(col.values.to_numpy(zero_copy_only=False))
+        return flat.reshape(len(col), t.list_size).astype(np.float64, copy=False)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        offsets = np.asarray(col.offsets)
+        widths = np.diff(offsets)
+        if len(widths) and (widths == widths[0]).all() and widths[0] > 0:
+            base = int(offsets[0])
+            flat = col.values.slice(base, int(offsets[-1]) - base)
+            vals = np.asarray(flat.to_numpy(zero_copy_only=False))
+            return vals.reshape(len(col), int(widths[0])).astype(np.float64, copy=False)
+    return np.asarray(col.to_pylist(), dtype=np.float64)
+
+
+def _matrix_to_fsl(mat: np.ndarray) -> pa.FixedSizeListArray:
+    """(n, dim) matrix → Arrow fixed-size-list column (flat buffer,
+    zero-copy back out via :func:`_as_matrix`)."""
+    return pa.FixedSizeListArray.from_arrays(
+        pa.array(np.ascontiguousarray(mat).ravel()), mat.shape[1],
+    )
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -52,7 +76,9 @@ def knn_brute_force(
     def batch_topk(batch: pa.Table) -> pa.Table:
         qm = ray.get(q_ref)
         mat = _normalize(_as_matrix(batch.column(column)))
-        keys = np.asarray(batch.column(key).to_pylist())
+        keys = np.asarray(
+            batch.column(key).combine_chunks().to_numpy(zero_copy_only=False),
+        )
         sims = mat @ qm.T  # (n, nq)
         kk = min(k, sims.shape[0])
         out_q, out_key, out_sim = [], [], []
@@ -133,7 +159,7 @@ class IvfIndex:
             return pa.table({
                 key: batch.column(key),
                 'centroid': pa.array(assign),
-                '_unit': pa.array(list(mat), type=pa.list_(pa.float64())),
+                '_unit': _matrix_to_fsl(mat),
             })
 
         return ds.map_batches(tag, batch_format='pyarrow')
@@ -169,8 +195,10 @@ def knn_ivf(
         qm = ray.get(q_ref)
         probes = ray.get(probe_ref)
         cents = batch.column('centroid').to_numpy(zero_copy_only=False)
-        mat = np.asarray(batch.column('_unit').to_pylist(), dtype=np.float64)
-        keys = np.asarray(batch.column(key).to_pylist())
+        mat = _as_matrix(batch.column('_unit'))
+        keys = np.asarray(
+            batch.column(key).combine_chunks().to_numpy(zero_copy_only=False),
+        )
         out_q, out_key, out_sim = [], [], []
         for qi in range(qm.shape[0]):
             mask = np.isin(cents, probes[qi])

@@ -214,3 +214,123 @@ def test_video_frame_sampling_layout():
     out = VideoFrameSampleStage(num_frames=3)(media_batch(4))
     assert out.num_rows == 12  # one row per (video, frame)
     assert set(out.column('frame').to_pylist()) == {0, 1, 2}
+
+
+# ---------------------------------------------------------------------------
+# distributed clustering / planted near-dups / recall (round 2)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.usefixtures('ray_session')
+def test_connected_components_matches_union_find():
+    """Distributed min-label propagation == min-rooted union-find on a
+    random graph (VERDICT r1 #5)."""
+    import ray.data as rd
+
+    from filters_ray.pipelines.dedup import connected_components
+
+    rng = np.random.RandomState(11)
+    nodes = np.arange(60)
+    edges = []
+    for _ in range(70):
+        a, b = rng.choice(nodes, size=2, replace=False)
+        edges.append((int(min(a, b)), int(max(a, b))))
+    pairs = rd.from_arrow(pa.table({
+        'left': [e[0] for e in edges],
+        'right': [e[1] for e in edges],
+    }))
+
+    # Reference: local union-find with min roots.
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    expected = {n: find(n) for n in set(x for e in edges for x in e)}
+
+    got = {
+        r['node']: r['label']
+        for r in connected_components(pairs).take_all()
+    }
+    assert got == expected
+
+
+@pytest.mark.usefixtures('ray_session')
+def test_minhash_dedup_distributed_cc_path():
+    """Forcing the distributed-CC branch must give the same clusters as
+    the driver union-find branch."""
+    import ray.data as rd
+
+    drv = minhash_dedup(
+        rd.from_arrow(docs_table()), num_perm=64, bands=16,
+        shingle_k=4, threshold=0.6, concurrency=2,
+    )[1]
+    dist = minhash_dedup(
+        rd.from_arrow(docs_table()), num_perm=64, bands=16,
+        shingle_k=4, threshold=0.6, concurrency=2,
+        cc_driver_threshold=0,
+    )[1]
+    assert drv == dist
+    assert drv  # the {0,1,4} cluster exists
+
+
+@pytest.mark.usefixtures('ray_session')
+def test_embedding_neardup_planted_recall():
+    """Banded hyperplane LSH must recover ≥90% of planted near-dup
+    pairs and no false positives at threshold 0.99 (VERDICT r1 #2)."""
+    import ray.data as rd
+
+    from filters_ray.pipelines.dedup import embedding_dedup
+
+    rng = np.random.RandomState(21)
+    n, dim = 300, 32
+    base = rng.normal(size=(n, dim))
+    planted = []
+    rows_id, rows_vec = list(range(n)), [r.tolist() for r in base]
+    for i in range(0, n, 20):
+        noise = 0.05 * rng.normal(size=dim)
+        rows_id.append(10_000 + i)
+        rows_vec.append((base[i] + noise).tolist())
+        planted.append((i, 10_000 + i))
+    ds = rd.from_arrow(pa.table({'vec_id': rows_id, 'embedding': rows_vec}))
+    pairs = embedding_dedup(ds, threshold=0.99).to_pandas()
+    got = set(zip(pairs['left'], pairs['right']))
+    recall = len(got & set(planted)) / len(planted)
+    assert recall >= 0.9, (recall, got)
+    assert not got - set(planted)  # random vectors never hit 0.99
+
+
+@pytest.mark.usefixtures('ray_session')
+def test_ivf_recall_vs_brute_force():
+    """IVF with nprobe < num_centroids: recall@10 ≥ 0.9 vs brute force
+    (VERDICT r1 #10)."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(9)
+    # Clustered corpus (IVF's design point): 8 well-separated centers,
+    # points = center + small noise, so true neighbours share a list.
+    centers = rng.normal(size=(8, 24)) * 4.0
+    assign = rng.randint(0, 8, size=400)
+    mat = centers[assign] + 0.4 * rng.normal(size=(400, 24))
+    ds = rd.from_arrow(pa.table({
+        'vec_id': list(range(400)),
+        'embedding': [r.tolist() for r in mat],
+    }))
+    queries = mat[[5, 100, 250]]
+    exact = knn_brute_force(ds, queries, k=10)
+    approx = knn_ivf(ds, queries, k=10, num_centroids=8, nprobe=4)
+    recalls = []
+    for e, a in zip(exact, approx):
+        e_ids = {k for k, _ in e}
+        a_ids = {k for k, _ in a}
+        recalls.append(len(e_ids & a_ids) / len(e_ids))
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
