@@ -760,23 +760,156 @@ _IPV4_RE = rf'^{_IPV4_OCTET}(\.{_IPV4_OCTET}){{3}}$'
 
 
 def _kernel_ip(filt: fstring.IpAddress) -> Optional[Callable[[pa.Array], KernelResult]]:
-    """IPv4-only configuration vectorizes (strict dotted-quad regex —
-    equivalent to inet_pton(AF_INET) for string input); any config
-    accepting IPv6 needs normalization and stays scalar."""
-    if filt.ipv6 or not filt.ipv4:
-        return None
+    """Hybrid IpAddress kernel: the IPv4 dotted-quad check vectorizes
+    (strict regex — equivalent to inet_pton(AF_INET) for string input);
+    rows containing ':' are IPv6 candidates and row-route to the scalar
+    filter (which normalizes to canonical presentation form)."""
+    scalar_fb = ScalarFallbackKernel(filt)
+    ipv4, ipv6 = filt.ipv4, filt.ipv6
 
     def kernel(arr: pa.Array) -> KernelResult:
         n = len(arr)
         if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
             bad = _not_null_mask(arr)
             return KernelResult(_null_like(arr), [(bad, fbase.Type.CODE_WRONG_TYPE, '')] if bad.any() else [])
-        ok = _as_bool_ndarray(pc.match_substring_regex(arr, _IPV4_RE), n)
-        bad = ~ok & _not_null_mask(arr)
-        return KernelResult(
-            _nullify(arr, bad),
-            [(bad, filt.CODE_INVALID, '')] if bad.any() else [],
+        not_null = _not_null_mask(arr)
+        rest = np.zeros(n, dtype=bool)
+        if ipv6:
+            has_colon = _as_bool_ndarray(
+                pc.greater_equal(pc.find_substring(arr, ':'), 0), n,
+            )
+            rest = not_null & has_colon
+        if ipv4:
+            ok = _as_bool_ndarray(pc.match_substring_regex(arr, _IPV4_RE), n)
+        else:
+            ok = np.zeros(n, dtype=bool)
+        bad = not_null & ~ok & ~rest
+        out = _nullify(arr, bad | rest)
+        errors: List[ErrorEntry] = [(bad, filt.CODE_INVALID, '')] if bad.any() else []
+        if rest.any():
+            res = scalar_fb(arr.filter(pa.array(rest)))
+            idx = np.flatnonzero(rest)
+            out_py = out.to_pylist()
+            sub = res.values.to_pylist()
+            for j, i in enumerate(idx):
+                out_py[i] = sub[j]
+            out = pa.array(out_py, type=pa.string())
+            for mask, code, subkey in res.errors:
+                full = np.zeros(n, dtype=bool)
+                full[idx[mask]] = True
+                errors.append((full, code, subkey))
+        return KernelResult(out, errors)
+
+    return kernel
+
+
+def _kernel_decimal(filt) -> Optional[Callable[[pa.Array], KernelResult]]:
+    """Hybrid Decimal kernel: plain decimal strings (``[+-]?digits[.digits]``)
+    cast vectorized to ``decimal128(38, batch-max-scale)``; everything
+    else (scientific notation, NaN/Inf, tuples, int/float columns whose
+    binary-float expansion the scalar filter preserves exactly) row-routes
+    to the scalar filter. ``max_precision`` configs stay fully scalar
+    (quantize semantics)."""
+    if filt.max_precision is not None:
+        return None
+    scalar_fb = ScalarFallbackKernel(filt)
+    plain_re = r'^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)$'
+
+    def kernel(arr: pa.Array) -> KernelResult:
+        n = len(arr)
+        t = arr.type
+        if pa.types.is_decimal(t):
+            return KernelResult(arr)
+        if not (pa.types.is_string(t) or pa.types.is_large_string(t)):
+            return scalar_fb(arr)
+        not_null = _not_null_mask(arr)
+        plain = _as_bool_ndarray(pc.match_substring_regex(arr, plain_re), n) & not_null
+        rest = not_null & ~plain
+        if not plain.any():
+            return scalar_fb(arr)
+        dot = np.asarray(
+            pc.fill_null(pc.find_substring(arr, '.'), -1)
+            .to_numpy(zero_copy_only=False), dtype=np.int64,
         )
+        length = np.asarray(
+            pc.fill_null(pc.utf8_length(arr), 0).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        frac = np.where((dot >= 0) & plain, length - dot - 1, 0)
+        int_digits = np.where(dot >= 0, dot, length)  # incl. sign: safe upper bound
+        max_frac = int(frac[plain].max()) if plain.any() else 0
+        max_int = int(int_digits[plain].max()) if plain.any() else 0
+        if max_frac > 18 or max_int + max_frac > 37:
+            return scalar_fb(arr)
+        safe = pc.if_else(pa.array(plain), arr, pa.scalar(None, type=t))
+        try:
+            dec = safe.cast(pa.decimal128(38, max_frac))
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            return scalar_fb(arr)
+        if not rest.any():
+            return KernelResult(dec)
+        res = scalar_fb(arr.filter(pa.array(rest)))
+        idx = np.flatnonzero(rest)
+        out_py = dec.to_pylist()
+        sub = res.values.to_pylist()
+        for j, i in enumerate(idx):
+            out_py[i] = sub[j]
+        try:
+            out = pa.array(out_py)
+        except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError, ValueError):
+            out = pa.array(
+                [None if v is None else str(v) for v in out_py], type=pa.string(),
+            )
+        errors: List[ErrorEntry] = []
+        for mask, code, subkey in res.errors:
+            full = np.zeros(n, dtype=bool)
+            full[idx[mask]] = True
+            errors.append((full, code, subkey))
+        return KernelResult(out, errors)
+
+    return kernel
+
+
+def _kernel_round(filt) -> Callable[[pa.Array], KernelResult]:
+    """Round kernel: integer columns with an integral ``to_nearest`` and
+    HALF_UP rounding vectorize with exact integer arithmetic
+    (``sign · ((|v|·2 + n) // 2n) · n``); floats/decimals/strings keep
+    the scalar filter's exact Decimal-space semantics."""
+    from decimal import ROUND_HALF_UP
+
+    scalar_fb = ScalarFallbackKernel(filt)
+    nearest = filt.to_nearest
+    if (
+        filt.rounding != ROUND_HALF_UP
+        or nearest != nearest.to_integral_value()
+        or nearest <= 0
+    ):
+        return scalar_fb
+    n_int = int(nearest)
+    result_type = filt.result_type
+
+    def kernel(arr: pa.Array) -> KernelResult:
+        if not pa.types.is_integer(arr.type):
+            return scalar_fb(arr)
+        valid = _not_null_mask(arr)
+        vals = np.asarray(
+            pc.fill_null(arr.cast(pa.int64()), 0).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        if np.abs(vals).max(initial=0) > (1 << 62) - n_int:
+            return scalar_fb(arr)  # doubling overflow guard
+        mags = (np.abs(vals) * 2 + n_int) // (2 * n_int) * n_int
+        rounded = np.sign(vals) * mags
+        out = pa.array(rounded)
+        if result_type is decimal.Decimal:
+            out = out.cast(pa.decimal128(38, 0))
+        elif result_type is float:
+            out = out.cast(pa.float64())
+        elif result_type is not int:
+            return scalar_fb(arr)
+        if not valid.all():
+            out = pc.if_else(pa.array(valid), out, pa.scalar(None, type=out.type))
+        return KernelResult(out)
 
     return kernel
 
@@ -784,19 +917,63 @@ def _kernel_ip(filt: fstring.IpAddress) -> Optional[Callable[[pa.Array], KernelR
 _RE_META = set('\\^$.|?*+()[]{}')
 
 
-def _kernel_split(filt: fstring.Split) -> Optional[Callable[[pa.Array], KernelResult]]:
-    """Vectorized Split for literal separators, list output only.
+def _split_regex_safe(pattern: str) -> bool:
+    """True iff the separator regex is a plain sequence of literals /
+    character classes / class escapes, each optionally ``+``-quantified —
+    shapes where RE2 split and Python ``regex.split`` provably agree
+    (no capture groups in output, no zero-width matches)."""
+    i, n = 0, len(pattern)
+    if n == 0:
+        return False
+    while i < n:
+        c = pattern[i]
+        if c == '[':
+            i += 1
+            if i < n and pattern[i] == '^':
+                i += 1
+            if i < n and pattern[i] == ']':
+                i += 1  # leading ] is a literal
+            while i < n and pattern[i] != ']':
+                if pattern[i] == '\\':
+                    i += 1
+                i += 1
+            if i >= n:
+                return False
+            i += 1
+        elif c == '\\':
+            if i + 1 >= n or pattern[i + 1] not in 'dswDSW.\\+*?[](){}|^$tnr ':
+                return False
+            i += 2
+        elif c in '(){}|*?^$.':
+            return False
+        else:
+            i += 1
+        if i < n and pattern[i] == '+':
+            i += 1
+    return True
 
-    Python's ``regex.split`` has semantics Arrow's regex splitter lacks
-    (capture groups in the output), so only meta-character-free patterns
-    vectorize via ``pc.split_pattern``; the keys→OrderedDict variant and
-    regex patterns stay scalar.
+
+def _kernel_split(filt: fstring.Split) -> Optional[Callable[[pa.Array], KernelResult]]:
+    """Vectorized Split, list output only.
+
+    Literal separators use ``pc.split_pattern``. Safe regex separators
+    (:func:`_split_regex_safe`) use RE2's ``pc.split_pattern_regex`` with
+    non-ASCII rows routed through the scalar filter (``\\s``/``\\w``
+    class semantics diverge outside ASCII). Capture groups (Python puts
+    them in the output), exotic constructs, flagged patterns, and the
+    keys→OrderedDict variant stay scalar.
     """
     if filt.keys is not None:
         return None
     pattern = filt.regex.pattern
-    if not isinstance(pattern, str) or any(c in _RE_META for c in pattern) \
-            or not pattern:
+    if not isinstance(pattern, str) or not pattern:
+        return None
+    if any(c in _RE_META for c in pattern):
+        if (
+            _split_regex_safe(pattern)
+            and getattr(filt.regex, 'flags', None) in _REGEX_PLAIN_FLAGS
+        ):
+            return _regex_split_kernel(filt, pattern)
         return None
 
     def kernel(arr: pa.Array) -> KernelResult:
@@ -805,6 +982,44 @@ def _kernel_split(filt: fstring.Split) -> Optional[Callable[[pa.Array], KernelRe
             out = pa.nulls(len(arr), type=pa.list_(pa.string()))
             return KernelResult(out, [(bad, fbase.Type.CODE_WRONG_TYPE, '')] if bad.any() else [])
         return KernelResult(pc.split_pattern(arr, pattern=pattern))
+
+    return kernel
+
+
+def _regex_split_kernel(
+    filt: fstring.Split, pattern: str,
+) -> Callable[[pa.Array], KernelResult]:
+    scalar_fb = ScalarFallbackKernel(filt)
+
+    def kernel(arr: pa.Array) -> KernelResult:
+        n = len(arr)
+        if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
+            bad = _not_null_mask(arr)
+            out = pa.nulls(n, type=pa.list_(pa.string()))
+            return KernelResult(out, [(bad, fbase.Type.CODE_WRONG_TYPE, '')] if bad.any() else [])
+        not_null = _not_null_mask(arr)
+        ascii_only = _as_bool_ndarray(
+            pc.equal(pc.utf8_length(arr), pc.binary_length(arr)), n,
+        )
+        rest = not_null & ~ascii_only
+        try:
+            out = pc.split_pattern_regex(arr, pattern=pattern)
+        except pa.ArrowInvalid:
+            return scalar_fb(arr)
+        errors: List[ErrorEntry] = []
+        if rest.any():
+            res = scalar_fb(arr.filter(pa.array(rest)))
+            idx = np.flatnonzero(rest)
+            out_py = out.to_pylist()
+            sub = res.values.to_pylist()
+            for j, i in enumerate(idx):
+                out_py[i] = sub[j]
+            out = pa.array(out_py, type=pa.list_(pa.string()))
+            for mask, code, subkey in res.errors:
+                full = np.zeros(n, dtype=bool)
+                full[idx[mask]] = True
+                errors.append((full, code, subkey))
+        return KernelResult(out, errors)
 
     return kernel
 
@@ -973,6 +1188,8 @@ _VECTOR_BUILDERS: List[Tuple[type, Callable]] = [
     (fstring.Uuid, _kernel_uuid),
     (fstring.IpAddress, _kernel_ip),
     (fnumber.Int, _kernel_int),
+    (fnumber.Decimal, _kernel_decimal),
+    (fnumber.Round, _kernel_round),
     (fnumber.Max, _kernel_minmax),
     (fnumber.Min, _kernel_minmax),
     (fcomplex.FilterRepeater, _kernel_repeater),

@@ -92,6 +92,27 @@ CASES = [
     ('int_int', lambda: f.Int, INTS, None),
     ('int_float', lambda: f.Int, FLOATS, None),
     ('min', lambda: f.Min(0), INTS, None),
+    ('decimal_str', lambda: f.Decimal,
+     ['1.5', '-3.25', '42', '.5', '1.', '+7.10', None, '', 'x',
+      '1e3', 'NaN', '-Inf', '  2 '], None),
+    ('decimal_int', lambda: f.Decimal, INTS, None),
+    ('decimal_float', lambda: f.Decimal, FLOATS, None),
+    ('decimal_precision', lambda: f.Decimal(max_precision=2),
+     ['1.005', '2.5', None, 'x'], None),
+    ('round_int_default', lambda: f.Round, INTS, None),
+    ('round_int_nearest5', lambda: f.Round(5), [1, 2, 3, -2, -3, 12, None, 0], None),
+    ('round_int_result_int', lambda: f.Round(10, result_type=int),
+     [4, 5, 6, -5, None], None),
+    ('round_str', lambda: f.Round('0.1'), ['1.27', '0.35', None, 'x'], None),
+    ('ipv6_only', lambda: f.IpAddress(ipv4=False, ipv6=True),
+     ['::1', '2001:db8::ff00:42:8329', '127.0.0.1', 'nope', '', None,
+      '2001:0db8:0000:0000:0000:ff00:0042:8329'], None),
+    ('ipv4_and_v6', lambda: f.IpAddress(ipv4=True, ipv6=True),
+     ['127.0.0.1', '::1', '256.1.1.1', 'fe80::', 'x', None], None),
+    ('split_regex_class_plus', lambda: f.Split(r'[,;]+'),
+     ['a,b;;c', 'x', '', None, ',lead', 'trail;'], None),
+    ('split_regex_ws', lambda: f.Split(r'\s+'),
+     ['a b\tc', ' pad ', 'solo', None, 'é spaced'], None),
     ('max', lambda: f.Max(2), INTS, None),
     ('max_excl', lambda: f.Max(2, exclusive=True), INTS, None),
     ('regex_anchored', lambda: f.Regex(r'^[0-9a-f]{3}$'),
