@@ -112,8 +112,8 @@ def run_headline(num_cpus: int) -> dict:
             # comparison must run the identical plan at both levels.
             pipeline = CDCPipeline(
                 lake,
-                num_partitions=32,
-                batch_size=int(os.environ.get('GRAFT_BENCH_BATCH', '262144')),
+                num_partitions=int(os.environ.get('GRAFT_BENCH_PARTITIONS', '64')),
+                batch_size=int(os.environ.get('GRAFT_BENCH_BATCH', '131072')),
             )
             t0 = time.time()
             report = pipeline.run(rd.read_parquet(events_path))
@@ -204,7 +204,13 @@ def main_single() -> None:
 
 
 def main_scaling() -> None:
-    """Run the headline job at N=8 and 4N=32 CPUs in fresh processes."""
+    """Run the headline job at N=8 and 4N=32 CPUs in fresh processes.
+
+    Each level is CPU-PINNED (``taskset -c 0-(n-1)``) so an "8-CPU node"
+    really has 8 cores: without pinning, numpy/arrow worker threads bleed
+    onto the host's idle cores and inflate the low level by 10-25%
+    (measured), understating the true node-to-node scaling ratio.
+    """
 
     def run(ncpu: int) -> dict:
         env = dict(
@@ -214,11 +220,13 @@ def main_scaling() -> None:
             # Larger log for the scaling measurement: fixed scheduler /
             # shuffle-coordination latency (~2s) must be small relative to
             # work, as it is at the real 10^10-event design point.
-            GRAFT_BENCH_EVENTS=os.environ.get('GRAFT_BENCH_EVENTS', '8000000'),
+            GRAFT_BENCH_EVENTS=os.environ.get('GRAFT_BENCH_EVENTS', '16000000'),
         )
+        cmd = [sys.executable, 'bench.py']
+        if shutil.which('taskset'):
+            cmd = ['taskset', '-c', f'0-{ncpu - 1}'] + cmd
         out = subprocess.run(
-            [sys.executable, 'bench.py'],
-            env=env, capture_output=True, text=True, check=True,
+            cmd, env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 

