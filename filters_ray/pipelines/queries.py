@@ -1186,11 +1186,23 @@ def multimodal_decode_demo(sf_dir: str):
 
     ds = rd.from_arrow(table)
     out = ds.map_batches(
-        DecodeImageStage, fn_constructor_kwargs={'strict': False},
+        DecodeImageStage, fn_constructor_kwargs={'strict': True},
         batch_format='pyarrow', batch_size=16,
         concurrency=_default_pool_size(),
     )
-    return out
+    # Dims are parsed from the actual BMP headers — MULTIMODAL_SQL
+    # recomputes the expected values analytically, so the real decode
+    # path is oracle-verified (features stay pytest-verified: floats
+    # aren't SQL-comparable).
+    return out.select_columns(['media_id', 'decoded_width', 'decoded_height'])
+
+
+MULTIMODAL_SQL = """
+SELECT CAST(i AS BIGINT) AS media_id,
+       CAST(16 + (i % 5) AS INT) AS decoded_width,
+       CAST(16 + (i % 7) AS INT) AS decoded_height
+FROM range(64) t(i)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1233,7 +1245,7 @@ QUERIES = {
     'embeddings_neardup_pairs': (embeddings_neardup_pairs, None),
     'knn_ivf_top10': (knn_ivf_top10, None),
     'cdc_upsert_demo': (cdc_upsert_demo, None),
-    'multimodal_decode_demo': (multimodal_decode_demo, None),
+    'multimodal_decode_demo': (multimodal_decode_demo, MULTIMODAL_SQL),
     'lineitem_seeded_sample': (lineitem_seeded_sample, None),
     'corpus_prep_demo': (corpus_prep_demo, None),
 }

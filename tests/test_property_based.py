@@ -121,3 +121,95 @@ def test_lww_final_state_order_independent(seed):
     again = replay_oracle(shuffled)
     assert base.sha256_by_key() == again.sha256_by_key()
     assert base.rejected_by_code == again.rejected_by_code
+
+
+NUMERIC_STR = st.one_of(
+    st.none(),
+    st.text(max_size=12),
+    st.from_regex(r'[+-]?[0-9]{1,12}(\.[0-9]{0,8})?', fullmatch=True),
+    st.from_regex(r'[+-]?[0-9]{1,3}[eE][+-]?[0-9]{1,2}', fullmatch=True),
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(column=st.lists(NUMERIC_STR, min_size=1, max_size=25))
+def test_decimal_kernel_parity_random(column):
+    """Decimal hybrid kernel ≡ scalar on arbitrary numeric-ish strings
+    (values compared numerically — the vector path normalizes scale)."""
+    import decimal as d
+    build = lambda: f.Decimal  # noqa: E731
+    compiled = compile_chain(build())
+    out, errors = compiled.apply_column(pa.array(column, type=pa.string()))
+    got_vals = out.to_pylist()
+    got_codes = [sorted(r) for r in errors.codes_per_row()]
+    for i, value in enumerate(column):
+        runner = f.FilterRunner(build(), value)
+        expected_codes = sorted(
+            (k, c) for k, cs in runner.error_codes.items() for c in cs
+        )
+        assert got_codes[i] == expected_codes, (i, value)
+        exp = runner.cleaned_data
+        got = got_vals[i]
+        if isinstance(exp, d.Decimal) and got is not None:
+            assert d.Decimal(str(got)) == exp, (i, value)
+        else:
+            assert got == exp or (got is None and exp is None), (i, value)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    column=st.lists(st.one_of(st.none(), st.integers(-10**9, 10**9)),
+                    min_size=1, max_size=25),
+    nearest=st.integers(1, 50),
+)
+def test_round_kernel_parity_random(column, nearest):
+    import decimal as d
+    build = lambda: f.Round(nearest)  # noqa: E731
+    compiled = compile_chain(build())
+    out, errors = compiled.apply_column(pa.array(column, type=pa.int64()))
+    assert not any(errors.codes_per_row())
+    for i, value in enumerate(column):
+        exp = f.FilterRunner(build(), value).cleaned_data
+        got = out.to_pylist()[i]
+        if value is None:
+            assert got is None
+        else:
+            assert d.Decimal(str(got)) == exp, (i, value, nearest)
+
+
+@settings(max_examples=100, deadline=None)
+@given(column=st.lists(st.one_of(
+    st.none(), st.text(max_size=20),
+    st.from_regex(r'[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', fullmatch=True),
+    st.from_regex(r'[0-9a-f:]{2,20}', fullmatch=True),
+), min_size=1, max_size=25))
+def test_ip_kernel_parity_random(column):
+    build = lambda: f.IpAddress(ipv4=True, ipv6=True)  # noqa: E731
+    compiled = compile_chain(build())
+    out, errors = compiled.apply_column(pa.array(column, type=pa.string()))
+    got_codes = [sorted(r) for r in errors.codes_per_row()]
+    for i, value in enumerate(column):
+        runner = f.FilterRunner(build(), value)
+        expected_codes = sorted(
+            (k, c) for k, cs in runner.error_codes.items() for c in cs
+        )
+        assert got_codes[i] == expected_codes, (i, value)
+        assert out.to_pylist()[i] == to_arrow_value(runner.cleaned_data), (i, value)
+
+
+@settings(max_examples=100, deadline=None)
+@given(column=st.lists(st.one_of(st.none(), st.text(max_size=24)),
+                       min_size=1, max_size=25),
+       sep=st.sampled_from([r'[,;]', r'\s+', r'[,;]+', r'-+']))
+def test_split_regex_kernel_parity_random(column, sep):
+    build = lambda: f.Split(sep)  # noqa: E731
+    compiled = compile_chain(build())
+    out, errors = compiled.apply_column(pa.array(column, type=pa.string()))
+    got_codes = [sorted(r) for r in errors.codes_per_row()]
+    for i, value in enumerate(column):
+        runner = f.FilterRunner(build(), value)
+        expected_codes = sorted(
+            (k, c) for k, cs in runner.error_codes.items() for c in cs
+        )
+        assert got_codes[i] == expected_codes, (i, value, sep)
+        assert out.to_pylist()[i] == to_arrow_value(runner.cleaned_data), (i, value, sep)
