@@ -988,8 +988,17 @@ def embeddings_neardup_pairs(sf_dir: str):
 
     ds = _read(sf_dir, 'embeddings', columns=['vec_id', 'embedding'])
     planted = ds.map_batches(_plant_near_dups, batch_format='pyarrow')
-    pairs = embedding_dedup(planted, threshold=0.99)
+    # bands=8 + exact-norm planted noise: per-pair LSH miss ~1e-5, so
+    # the (deterministic, fixed-seed) pipeline recovers EVERY planted
+    # pair and the result equals EMB_NEARDUP_SQL's analytic planted set.
+    pairs = embedding_dedup(planted, threshold=0.99, bands=8)
     return pairs.select_columns(['left', 'right'])
+
+
+EMB_NEARDUP_SQL = """
+SELECT vec_id AS left, vec_id + 1000000 AS right
+FROM embeddings WHERE vec_id % 25 = 0
+"""
 
 
 def _plant_near_dups(batch: pa.Table) -> pa.Table:
@@ -1004,11 +1013,14 @@ def _plant_near_dups(batch: pa.Table) -> pa.Table:
     src = mat[pick]
     src_ids = ids_np[pick]
     dim = mat.shape[1]
-    # Noise norm ≈ 0.1 (cos ramp has RMS 1/√2) → clone cosine ≈ 0.995,
-    # comfortably above the 0.99 detection threshold.
-    noise = (0.1 * np.sqrt(2.0 / dim)) * np.cos(
-        np.outer(src_ids + 1, np.arange(1, dim + 1, dtype=np.float64)),
-    )
+    # Deterministic noise normalized to EXACTLY 0.05 per clone → every
+    # clone sits at cosine ≈ 0.99875, far above the 0.99 threshold and
+    # deep inside the LSH recovery band (miss ≈ 1e-5 per pair at 8
+    # bands, so the fixed-seed pipeline recovers the full planted set).
+    raw = np.cos(np.outer(src_ids + 1, np.arange(1, dim + 1, dtype=np.float64)))
+    norms = np.linalg.norm(raw, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    noise = 0.05 * raw / norms
     clones = _normalize(src + noise)
     out_mat = np.vstack([mat, clones])
     out_ids = np.concatenate([ids_np, src_ids + 1_000_000])
@@ -1026,10 +1038,16 @@ def knn_ivf_top10(sf_dir: str):
 
     ds = _read(sf_dir, 'embeddings', columns=['vec_id', 'embedding'])
     query = _fetch_embedding(ds, vec_id=0)
-    results = knn_ivf(ds, query[None, :], k=10, num_centroids=8, nprobe=3)
+    # Full probe (nprobe = num_centroids) makes IVF exact, so the whole
+    # IVF machinery — centroid training, inverted-list assignment, probe
+    # pruning, per-list scan — is oracle-checkable against the same SQL
+    # as brute force. Approximate-recall behaviour (nprobe < centroids)
+    # is covered by tests/test_ops.py::test_ivf_recall_vs_brute_force.
+    results = knn_ivf(ds, query[None, :], k=10, num_centroids=8, nprobe=8)
     rows = [
         {'vec_id': key, 'cosine': round(sim, 4)} for key, sim in results[0]
     ]
+    rows.sort(key=lambda r: (-r['cosine'], r['vec_id']))
     return pd.DataFrame(rows)
 
 
@@ -1162,6 +1180,51 @@ def lineitem_seeded_sample(sf_dir: str):
     return out
 
 
+def lineitem_hash_sample(sf_dir: str):
+    """Deterministic ~10% HASH sample (Knuth multiplicative hash on the
+    key, mod 10) + grouped aggregate — reproducible across engines and
+    replays, unlike seeded RNG sampling (which stays in
+    `lineitem_seeded_sample` as the Dataset.random_sample demo)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, 'lineitem', columns=[
+        'l_orderkey', 'l_linenumber', 'l_returnflag', 'l_quantity',
+    ])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ok = batch.column('l_orderkey').combine_chunks().to_numpy(zero_copy_only=False)
+        ln = batch.column('l_linenumber').combine_chunks().to_numpy(zero_copy_only=False)
+        h = (
+            (ok.astype(np.uint64) * np.uint64(2654435761)
+             + ln.astype(np.uint64)) % np.uint64(4294967296)
+        )
+        return batch.filter(pa.array(h % np.uint64(10) == 0))
+
+    out = (
+        ds.map_batches(pick, batch_format='pyarrow')
+        .groupby('l_returnflag')
+        .aggregate(Count(alias_name='n'), Sum('l_quantity', alias_name='sum_qty'))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            'l_returnflag': batch.column('l_returnflag'),
+            'n': batch.column('n'),
+            'sum_qty': _round4(batch.column('sum_qty')),
+        })
+
+    return out.map_batches(finish, batch_format='pyarrow')
+
+
+LINEITEM_HASH_SAMPLE_SQL = """
+SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+FROM lineitem
+WHERE ((CAST(l_orderkey AS UBIGINT) * 2654435761
+        + CAST(l_linenumber AS UBIGINT)) % 4294967296) % 10 = 0
+GROUP BY l_returnflag
+"""
+
+
 def multimodal_decode_demo(sf_dir: str):
     """Multimodal image decode over REAL (synthesized) BMP payloads —
     dependency-free header+raw decode emits true width/height/features
@@ -1242,11 +1305,12 @@ QUERIES = {
     'docs_fingerprint': (docs_fingerprint, None),
     'docs_minhash_pairs': (docs_minhash_pairs, None),
     'docs_simhash_pairs': (docs_simhash_pairs, None),
-    'embeddings_neardup_pairs': (embeddings_neardup_pairs, None),
-    'knn_ivf_top10': (knn_ivf_top10, None),
+    'embeddings_neardup_pairs': (embeddings_neardup_pairs, EMB_NEARDUP_SQL),
+    'knn_ivf_top10': (knn_ivf_top10, KNN_SQL),
     'cdc_upsert_demo': (cdc_upsert_demo, None),
     'multimodal_decode_demo': (multimodal_decode_demo, MULTIMODAL_SQL),
     'lineitem_seeded_sample': (lineitem_seeded_sample, None),
+    'lineitem_hash_sample': (lineitem_hash_sample, LINEITEM_HASH_SAMPLE_SQL),
     'corpus_prep_demo': (corpus_prep_demo, None),
 }
 
