@@ -773,12 +773,16 @@ def _kernel_ip(filt: fstring.IpAddress) -> Optional[Callable[[pa.Array], KernelR
             bad = _not_null_mask(arr)
             return KernelResult(_null_like(arr), [(bad, fbase.Type.CODE_WRONG_TYPE, '')] if bad.any() else [])
         not_null = _not_null_mask(arr)
-        rest = np.zeros(n, dtype=bool)
+        # Embedded NUL: inet_pton raises ValueError (trapped as code
+        # 'exception' by the scalar filter), not "invalid" — row-route.
+        rest = not_null & _as_bool_ndarray(
+            pc.greater_equal(pc.find_substring(arr, '\x00'), 0), n,
+        )
         if ipv6:
             has_colon = _as_bool_ndarray(
                 pc.greater_equal(pc.find_substring(arr, ':'), 0), n,
             )
-            rest = not_null & has_colon
+            rest |= not_null & has_colon
         if ipv4:
             ok = _as_bool_ndarray(pc.match_substring_regex(arr, _IPV4_RE), n)
         else:
