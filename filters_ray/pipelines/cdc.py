@@ -249,19 +249,20 @@ def _dlq_counts(table: pa.Table) -> Dict[str, int]:
 
 def _dedup_by_lsn(table: pa.Table) -> pa.Table:
     """Keep the first row per raw lsn (null-lsn rows all kept)."""
-    lsns = table.column(RAW_LSN_COLUMN).to_pylist()
-    seen: set = set()
-    keep = np.ones(len(lsns), dtype=bool)
-    for i, lsn in enumerate(lsns):
-        if lsn is None:
-            continue
-        if lsn in seen:
-            keep[i] = False
-        else:
-            seen.add(lsn)
+    col = table.column(RAW_LSN_COLUMN).combine_chunks()
+    vals = col.to_numpy(zero_copy_only=False)  # float64 + NaN when nulls
+    dup = pd.Series(vals).duplicated().to_numpy()
+    null = _as_np_bool(pc.is_null(col))
+    keep = ~dup | null  # pandas treats NaN==NaN as dup; nulls all stay
     if keep.all():
         return table
     return table.filter(pa.array(keep))
+
+
+def _as_np_bool(mask: pa.Array) -> np.ndarray:
+    return np.asarray(
+        pc.fill_null(mask, False).to_numpy(zero_copy_only=False), dtype=bool,
+    )
 
 
 def _aggregate_dlq_counts(dlq_dir: str) -> Dict[str, int]:
@@ -289,21 +290,38 @@ def _aggregate_dlq_counts(dlq_dir: str) -> Dict[str, int]:
 
 
 def _canonical_digest(table: pa.Table) -> str:
-    """Deterministic digest over the canonical (sorted) partition rows."""
+    """Deterministic digest over the canonical (sorted) partition rows.
+
+    Vectorized: rows are serialized with embedded separators into ONE
+    binary column (``binary_join_element_wise``) and the sha256 runs
+    over its contiguous values buffer — byte-identical to hashing
+    ``repo \\0 path \\0 content lsn \\1`` row by row, with no per-row
+    Python (VERDICT r1 hot-loop rule)."""
     h = hashlib.sha256()
     if table.num_rows:
-        repo = table.column('repo').to_pylist()
-        path = table.column('path').to_pylist()
-        content = table.column('content').to_pylist()
-        lsn = table.column('last_lsn').to_pylist()
-        for r, p, c, l in zip(repo, path, content, lsn):
-            h.update(r.encode())
-            h.update(b'\x00')
-            h.update(p.encode())
-            h.update(b'\x00')
-            h.update(c if isinstance(c, bytes) else (c or '').encode())
-            h.update(str(l).encode())
-            h.update(b'\x01')
+        as_bin = {}
+        for name in ('repo', 'path', 'content'):
+            col = table.column(name).combine_chunks()
+            if pa.types.is_string(col.type):
+                col = col.cast(pa.binary())
+            elif pa.types.is_large_string(col.type) or pa.types.is_large_binary(col.type):
+                col = col.cast(pa.binary())
+            as_bin[name] = pc.fill_null(col, b'')
+        lsn_bin = pc.fill_null(
+            table.column('last_lsn').combine_chunks().cast(pa.string()), 'None',
+        ).cast(pa.binary())
+        joined = pc.binary_join_element_wise(
+            as_bin['repo'], b'\x00', as_bin['path'], b'\x00',
+            as_bin['content'], lsn_bin, b'\x01', b'',
+        )
+        if isinstance(joined, pa.ChunkedArray):
+            joined = joined.combine_chunks()
+        n = len(joined)
+        offs = np.frombuffer(
+            joined.buffers()[1], dtype=np.int32, count=joined.offset + n + 1,
+        )
+        start, end = int(offs[joined.offset]), int(offs[joined.offset + n])
+        h.update(memoryview(joined.buffers()[2])[start:end])
     return h.hexdigest()
 
 

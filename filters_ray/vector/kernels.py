@@ -515,12 +515,17 @@ def _kernel_regex(filt: fstring.Regex) -> Optional[Callable[[pa.Array], KernelRe
             out = pa.nulls(n, type=pa.list_(pa.string()))
             return KernelResult(out, [(bad, fbase.Type.CODE_WRONG_TYPE, '')] if bad.any() else [])
         not_null = _not_null_mask(arr)
-        # Rows where RE2 may disagree with Python regex → scalar path.
+        # Rows where RE2 may disagree with Python regex → scalar path:
+        # non-ASCII (Unicode classes), trailing \n ($ semantics), and
+        # \x0b (in Python's \s, not RE2's — the one ASCII class gap).
         ascii_only = _as_bool_ndarray(
             pc.equal(pc.utf8_length(arr), pc.binary_length(arr)), n,
         )
         trailing_nl = _as_bool_ndarray(pc.ends_with(arr, pattern='\n'), n)
-        rest = not_null & (~ascii_only | trailing_nl)
+        has_vt = _as_bool_ndarray(
+            pc.greater_equal(pc.find_substring(arr, '\x0b'), 0), n,
+        )
+        rest = not_null & (~ascii_only | trailing_nl | has_vt)
         vec = not_null & ~rest
         try:
             matched = pc.match_substring_regex(arr, pattern)
@@ -1005,7 +1010,11 @@ def _regex_split_kernel(
         ascii_only = _as_bool_ndarray(
             pc.equal(pc.utf8_length(arr), pc.binary_length(arr)), n,
         )
-        rest = not_null & ~ascii_only
+        # \x0b: in Python's \s but not RE2's — the one ASCII class gap.
+        has_vt = _as_bool_ndarray(
+            pc.greater_equal(pc.find_substring(arr, '\x0b'), 0), n,
+        )
+        rest = not_null & (~ascii_only | has_vt)
         try:
             out = pc.split_pattern_regex(arr, pattern=pattern)
         except pa.ArrowInvalid:
