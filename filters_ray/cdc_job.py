@@ -30,6 +30,13 @@ def main(argv=None) -> int:
                         help='only used when this process owns ray.init')
     parser.add_argument('--strict-langs', nargs='*', default=None,
                         help='allowed lang values (default: built-in set)')
+    parser.add_argument('--tail', action='store_true',
+                        help='continuously ingest new parquet files '
+                             'appearing under --events')
+    parser.add_argument('--poll-interval', type=float, default=2.0)
+    parser.add_argument('--idle-timeout', type=float, default=None,
+                        help='stop tailing after this many idle seconds')
+    parser.add_argument('--max-batches', type=int, default=None)
     args = parser.parse_args(argv)
 
     import ray
@@ -50,7 +57,15 @@ def main(argv=None) -> int:
             langs=args.strict_langs,
             batch_size=args.batch_size,
         )
-        report = pipeline.run(args.events)
+        if args.tail:
+            report = pipeline.tail(
+                args.events,
+                poll_interval=args.poll_interval,
+                idle_timeout=args.idle_timeout,
+                max_batches=args.max_batches,
+            )
+        else:
+            report = pipeline.run(args.events)
         print(json.dumps(asdict(report)))
         return 0
     finally:

@@ -555,7 +555,7 @@ class CDCPipeline:
         """Ingest an event Dataset / parquet path; returns the run report."""
         import ray.data as rd
 
-        if isinstance(events, str):
+        if isinstance(events, (str, list)):
             events = rd.read_parquet(events)
 
         num_partitions = self.num_partitions
@@ -590,6 +590,82 @@ class CDCPipeline:
         except Exception:  # noqa: BLE001 — observability must not fail a run
             self.last_stats = None
         return report
+
+    # -- continuous tail -------------------------------------------------
+
+    def tail(
+        self,
+        events_dir: str,
+        poll_interval: float = 2.0,
+        max_batches: Optional[int] = None,
+        idle_timeout: Optional[float] = None,
+        stop_file: Optional[str] = None,
+    ) -> 'RunReport':
+        """Continuously tail ``events_dir`` for NEW event parquet files
+        and ingest each batch of arrivals (the binlog/WAL-tail shape).
+
+        A file-granular ingest ledger (``_ingest_ledger.json`` in the
+        lake root, atomically replaced AFTER each batch commits) skips
+        already-processed files; exactly-once does NOT depend on it —
+        a crash between commit and ledger write merely re-reads files
+        whose events the per-partition watermarks then drop.
+
+        Delivery contract (same as :meth:`run`, per file batch): once a
+        batch is committed, later-arriving files must not introduce new
+        events at or below the committed LSNs (re-deliveries are fine).
+
+        Stops when ``max_batches`` non-empty batches were ingested, when
+        no new files appear for ``idle_timeout`` seconds, or when
+        ``stop_file`` exists. Returns the aggregate report.
+        """
+        import time
+
+        ledger_path = os.path.join(self.lake_root, '_ingest_ledger.json')
+        processed: set = set()
+        if os.path.exists(ledger_path):
+            with open(ledger_path) as fh:
+                processed = set(json.load(fh)['files'])
+
+        total = RunReport()
+        batches = 0
+        last_progress = time.monotonic()
+        while True:
+            if stop_file and os.path.exists(stop_file):
+                break
+            try:
+                names = sorted(
+                    f for f in os.listdir(events_dir)
+                    if f.endswith('.parquet') and f not in processed
+                )
+            except FileNotFoundError:
+                names = []
+            if names:
+                report = self.run([os.path.join(events_dir, f) for f in names])
+                total.events_seen += report.events_seen
+                total.events_applied += report.events_applied
+                total.events_skipped += report.events_skipped
+                for code, cnt in report.rejected_by_code.items():
+                    total.rejected_by_code[code] = (
+                        total.rejected_by_code.get(code, 0) + cnt
+                    )
+                total.partitions = max(total.partitions, report.partitions)
+                total.lake_rows = report.lake_rows
+                processed.update(names)
+                tmp = ledger_path + '.tmp'
+                with open(tmp, 'w') as fh:
+                    json.dump({'files': sorted(processed)}, fh)
+                os.replace(tmp, ledger_path)
+                batches += 1
+                last_progress = time.monotonic()
+                if max_batches is not None and batches >= max_batches:
+                    break
+                continue  # drain immediately — don't sleep while behind
+            if idle_timeout is not None and (
+                time.monotonic() - last_progress >= idle_timeout
+            ):
+                break
+            time.sleep(poll_interval)
+        return total
 
     # -- inspection (small results; test/driver use) ---------------------
 

@@ -91,3 +91,53 @@ def test_cdc_tailing_micro_batches(tmp_path):
     # Watermarks advanced monotonically across micro-batches.
     for m in pipeline.lineage():
         assert m['hwm_lsn'] >= 0
+
+
+@pytest.mark.usefixtures('ray_session')
+def test_cdc_directory_tail(tmp_path):
+    """First-class tail mode: files arriving in a directory are ingested
+    incrementally (ledger skips processed files), final state equals the
+    oracle, and a ledger-less replay of the same files is a no-op."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    cfg = SynthConfig(n_keys=80, n_events=800, n_repos=8, seed=31)
+    log = make_events(cfg)
+    oracle = replay_oracle(log.to_pylist())
+
+    events_dir = tmp_path / 'incoming'
+    events_dir.mkdir()
+    lake = str(tmp_path / 'lake_tail')
+    pipeline = CDCPipeline(lake, num_partitions=4)
+
+    # Arrivals in 4 waves (cut on the synth disorder window of 16).
+    n = log.num_rows
+    step = (n // 4 // 16) * 16
+    starts = list(range(0, n, step))
+    for wave, start in enumerate(starts):
+        chunk = log.slice(start, min(step, n - start))
+        pq.write_table(chunk, events_dir / f'wal-{wave:04d}.parquet')
+        # Each tail call drains everything currently visible, then goes
+        # idle and exits — simulating the poll loop batch by batch.
+        pipeline.tail(str(events_dir), poll_interval=0.01, idle_timeout=0.0)
+
+    assert final_state_digests(pipeline.final_table()) == oracle.sha256_by_key()
+    assert pipeline.rejection_counts() == oracle.rejected_by_code
+
+    ledger = json.loads(
+        open(os.path.join(lake, '_ingest_ledger.json')).read(),
+    )
+    assert len(ledger['files']) == len(starts)
+
+    # All files already in the ledger: tail again → nothing ingested.
+    again = pipeline.tail(str(events_dir), poll_interval=0.01, idle_timeout=0.0)
+    assert again.events_seen == 0
+
+    # Ledger lost (crash before it was written): files re-read, but the
+    # watermarks drop every event — state unchanged (exactly-once).
+    os.remove(os.path.join(lake, '_ingest_ledger.json'))
+    replay = pipeline.tail(str(events_dir), poll_interval=0.01, idle_timeout=0.0)
+    assert replay.events_applied == 0
+    assert final_state_digests(pipeline.final_table()) == oracle.sha256_by_key()
