@@ -1081,30 +1081,88 @@ def events_cdc_upsert(sf_dir: str):
     from .cdc import CDCPipeline
 
     ds = _read(sf_dir, 'events', columns=['event_id', 'user_id', 'event_type'])
-
-    def to_change_log(batch: pa.Table) -> pa.Table:
-        eid = batch.column('event_id').combine_chunks()
-        uid = batch.column('user_id').combine_chunks()
-        etype = batch.column('event_type').combine_chunks()
-        eid_str = pc.cast(eid, pa.string())
-        tenant = pa.array(uid.to_numpy() % 5).cast(pa.string())
-        return pa.table({
-            'lsn': eid,
-            'op': pc.if_else(
-                pc.equal(etype, 'purchase'),
-                pa.scalar('delete'), pa.scalar('update'),
-            ),
-            'repo': pc.binary_join_element_wise('tenant-', tenant, ''),
-            'path': pc.binary_join_element_wise('u/', pc.cast(uid, pa.string()), ''),
-            'commit': pa.array(np.char.mod('%040x', eid.to_numpy())),
-            'lang': pa.nulls(batch.num_rows, type=pa.string()),
-            'content': pc.binary_join_element_wise(etype, eid_str, ':'),
-        })
-
     lake = tempfile.mkdtemp(prefix='cdc_lake_events_')
     pipeline = CDCPipeline(lake, num_partitions=16)
-    pipeline.run(ds.map_batches(to_change_log, batch_format='pyarrow'))
+    pipeline.run(ds.map_batches(_events_to_change_log, batch_format='pyarrow'))
     return _project_lake_state(pipeline.final_table())
+
+
+def _events_to_change_log(batch: pa.Table) -> pa.Table:
+    """Deterministic events → CDC change-log mapping shared by the
+    oracle-checked CDC entries (mirrored analytically in their SQL)."""
+    eid = batch.column('event_id').combine_chunks()
+    uid = batch.column('user_id').combine_chunks()
+    etype = batch.column('event_type').combine_chunks()
+    eid_str = pc.cast(eid, pa.string())
+    tenant = pa.array(uid.to_numpy() % 5).cast(pa.string())
+    return pa.table({
+        'lsn': eid,
+        'op': pc.if_else(
+            pc.equal(etype, 'purchase'),
+            pa.scalar('delete'), pa.scalar('update'),
+        ),
+        'repo': pc.binary_join_element_wise('tenant-', tenant, ''),
+        'path': pc.binary_join_element_wise('u/', pc.cast(uid, pa.string()), ''),
+        'commit': pa.array(np.char.mod('%040x', eid.to_numpy())),
+        'lang': pa.nulls(batch.num_rows, type=pa.string()),
+        'content': pc.binary_join_element_wise(etype, eid_str, ':'),
+    })
+
+
+def cdc_lake_repo_stats(sf_dir: str):
+    """COMPOSITION, oracle-checked: the CDC lake built by the flagship
+    upsert (same events→change-log mapping as `events_cdc_upsert`) feeds
+    a downstream op — per-repo file counts + distinct-content counts
+    (exact content dedup over the committed lake, read back as a
+    streaming Dataset via ``CDCPipeline.as_dataset``)."""
+    import tempfile
+
+    from .cdc import CDCPipeline
+
+    ds = _read(sf_dir, 'events', columns=['event_id', 'user_id', 'event_type'])
+    lake = tempfile.mkdtemp(prefix='cdc_lake_stats_')
+    pipeline = CDCPipeline(lake, num_partitions=16)
+    pipeline.run(ds.map_batches(
+        _events_to_change_log, batch_format='pyarrow',
+    ))
+
+    def stats(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            'repo': [group['repo'].iloc[0]],
+            'n_files': [len(group)],
+            'n_distinct_contents': [group['content'].nunique()],
+        })
+
+    return (
+        pipeline.as_dataset()
+        .map_batches(
+            lambda b: b.select(['repo', 'content']), batch_format='pyarrow',
+        )
+        .groupby('repo')  # 5 tenant repos — group-per-key is fine here
+        .map_groups(stats, batch_format='pandas')
+    )
+
+
+CDC_LAKE_STATS_SQL = """
+WITH log AS (
+    SELECT event_id AS lsn,
+           CASE WHEN event_type = 'purchase' THEN 'delete' ELSE 'update' END AS op,
+           'tenant-' || CAST(user_id % 5 AS VARCHAR) AS repo,
+           'u/' || CAST(user_id AS VARCHAR) AS path,
+           event_type || ':' || CAST(event_id AS VARCHAR) AS content
+    FROM events
+),
+last AS (
+    SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+    FROM log
+),
+lake AS (
+    SELECT repo, path, content FROM last WHERE rn = 1 AND op <> 'delete'
+)
+SELECT repo, count(*) AS n_files,
+       count(DISTINCT content) AS n_distinct_contents
+FROM lake GROUP BY repo
+"""
 
 
 EVENTS_CDC_SQL = """
@@ -1299,6 +1357,7 @@ QUERIES = {
     'knn_top10': (knn_top10, KNN_SQL),
     'embeddings_label_centroids': (embeddings_label_centroids, EMB_LABEL_SQL),
     'events_cdc_upsert': (events_cdc_upsert, EVENTS_CDC_SQL),
+    'cdc_lake_repo_stats': (cdc_lake_repo_stats, CDC_LAKE_STATS_SQL),
     # non-SQL-expressible (rows-only driver check):
     'docs_lang_id': (docs_lang_id, None),
     'docs_quality': (docs_quality, DOCS_QUALITY_SQL),

@@ -606,6 +606,29 @@ def _kernel_noop(filt: fsimple.NoOp) -> Callable[[pa.Array], KernelResult]:
     return lambda arr: KernelResult(arr)
 
 
+def _kernel_array(filt: fsimple.Array) -> Callable[[pa.Array], KernelResult]:
+    """Array (non-string sequence) kernel: list columns pass, string /
+    binary columns flag wrong_type wholesale; mixed/object columns keep
+    scalar semantics."""
+    scalar_fb = ScalarFallbackKernel(filt)
+
+    def kernel(arr: pa.Array) -> KernelResult:
+        t = arr.type
+        if pa.types.is_list(t) or pa.types.is_large_list(t) \
+                or pa.types.is_fixed_size_list(t):
+            return KernelResult(arr)
+        if pa.types.is_string(t) or pa.types.is_large_string(t) \
+                or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            bad = _not_null_mask(arr)
+            return KernelResult(
+                _null_like(arr),
+                [(bad, fbase.Type.CODE_WRONG_TYPE, '')] if bad.any() else [],
+            )
+        return scalar_fb(arr)
+
+    return kernel
+
+
 # Strict ISO-8601 timestamps (no timezone) — the vectorizable subset; the
 # reference's dateutil parser accepts far more, so everything else drops
 # to the scalar fallback row-wise.
@@ -1190,6 +1213,7 @@ _VECTOR_BUILDERS: List[Tuple[type, Callable]] = [
     (fsimple.MinLength, _kernel_lengths),
     (fsimple.Choice, _kernel_choice),
     (fsimple.ByteArray, _kernel_bytearray),
+    (fsimple.Array, _kernel_array),
     (fsimple.NoOp, _kernel_noop),
     (fstring.CaseFold, _kernel_casefold),
     (fstring.Strip, _kernel_strip),

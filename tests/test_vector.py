@@ -161,6 +161,11 @@ CASES = [
       '1.2.3.4.5', '::1', '', None, '0.0.0.0'], None),
     ('base64', lambda: f.Base64Decode, [b'aGVsbG8=', b'!!!', None, b'-_-_'], pa.binary()),
     ('bytearray_str', lambda: f.ByteArray, ['abc', 'тест', '', None], None),
+    ('array_lists', lambda: f.Array, [[1, 2], [], None, [5]], pa.list_(pa.int64())),
+    ('array_strings', lambda: f.Array, ['not a list', '', None], None),
+    ('array_ints', lambda: f.Array, [1, None, 3], None),
+    ('array_chain_len', lambda: f.Array | f.MaxLength(2),
+     [[1], [1, 2, 3], None, []], pa.list_(pa.int64())),
     ('bytearray_bin', lambda: f.ByteArray, [b'ok', b'', None], pa.binary()),
     ('bytearray_listint', lambda: f.ByteArray,
      [[65, 66], [300], [-1, 65], [], None], pa.list_(pa.int64())),
