@@ -4,21 +4,25 @@ embedding-cosine.
 Scale shapes (per the Ray aggregation-at-scale pattern):
 
 * **exact** — vectorized content hash per batch (`map_batches`) → ONE
-  shuffle (`groupby(hash)`) → keep the min-key row per group. The hash is
-  64-bit SipHash over the normalized text; groups verify the actual text
-  so hash collisions cannot merge distinct documents.
-* **MinHash-LSH** — shingle → k-permutation minhash signature per doc
-  (actor pool, numpy) → explode to (band, band_hash, doc) rows → ONE
-  shuffle (`groupby(band, band_hash)`) → candidate pairs inside buckets →
-  exact-Jaccard verify → connected components by iterated min-label
-  propagation (bounded rounds; no driver-side union-find on big data).
-* **SimHash** — 64-bit signature per doc, bucketed by 16-bit bands;
+  shuffle on ``hash % num_buckets`` → vectorized ``drop_duplicates``
+  per bucket (O(buckets) Python group calls at any corpus size); the
+  bucket compares the actual text so hash collisions can never merge
+  distinct documents.
+* **MinHash-LSH** — fully vectorized byte-shingle rolling-hash
+  signatures (actor pool, numpy) → explode to (band, band_hash) rows →
+  ONE shuffle (`groupby(band, band_hash % 256)`) → candidate pairs
+  inside buckets (hot buckets star-capped) → DISTRIBUTED exact-Jaccard
+  verify (broadcast-actor semi-join under a pair threshold, shuffle
+  join above) → connected components by bounded-round min-label
+  propagation (driver union-find only below an explicit pair count).
+* **SimHash** — vectorized 64-bit signatures, bucketed by 16-bit bands;
   verify by Hamming distance.
-* **embedding-cosine** — normalized vectors; exact O(n²) verify inside
-  hyperplane-LSH buckets.
+* **embedding-cosine** — BANDED random-hyperplane LSH over zero-copy
+  fixed-size-list matrices; exact cosine verify inside each (band,
+  bucket), hot buckets star-capped.
 
 Every function takes/returns `ray.data.Dataset` so stages compose and
-stream; nothing materializes the corpus.
+stream; nothing materializes the corpus on the driver.
 """
 
 from __future__ import annotations
@@ -35,11 +39,14 @@ from .text import normalize_for_fingerprint
 __all__ = [
     'MinHashStage',
     'SimHashStage',
+    'connected_components',
+    'embedding_dedup',
     'exact_dedup',
+    'jaccard',
+    'minhash_candidates',
     'minhash_dedup',
     'simhash_dedup',
-    'embedding_dedup',
-    'jaccard',
+    'verify_jaccard_pairs',
 ]
 
 _MERSENNE = (1 << 61) - 1
