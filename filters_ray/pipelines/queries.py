@@ -595,6 +595,88 @@ FROM numbered GROUP BY user_id, session
 """
 
 
+def _bucket_by_user(ds):
+    def bucket(batch: pa.Table) -> pa.Table:
+        uid = batch.column('user_id').combine_chunks()
+        return batch.append_column(
+            '_b', pa.array(uid.to_numpy(zero_copy_only=False) % 64),
+        )
+
+    return ds.map_batches(bucket, batch_format='pyarrow')
+
+
+def events_asof_last_purchase(sf_dir: str):
+    """AS-OF JOIN (an operator Ray Data lacks): for every event, the
+    same user's latest strictly-earlier 'purchase' event id.
+
+    Shape: ONE shuffle on ``user_id % 64`` buckets, then a vectorized
+    sort + grouped shift/ffill inside each bucket — the key-partitioned
+    merge-asof pattern. Partitioning assumption: all rows of a join key
+    co-locate in one bucket (guaranteed by the hash)."""
+    ds = _read(sf_dir, 'events', columns=['event_id', 'user_id', 'ts', 'event_type'])
+
+    def asof(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(['user_id', 'ts', 'event_id']).reset_index(drop=True)
+        pid = g['event_id'].where(g['event_type'] == 'purchase')
+        prev = pid.groupby(g['user_id']).shift(1)
+        prev = prev.groupby(g['user_id']).ffill()
+        return pd.DataFrame({
+            'event_id': g['event_id'].values,
+            'user_id': g['user_id'].values,
+            'prev_purchase_event_id': pa.array(
+                prev, type=pa.int64(), from_pandas=True,
+            ),
+        })
+
+    return _bucket_by_user(ds).groupby('_b').map_groups(
+        asof, batch_format='pandas',
+    )
+
+
+EVENTS_ASOF_SQL = """
+SELECT event_id, user_id,
+       last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+                  IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_purchase_event_id
+FROM events
+"""
+
+
+def events_sliding_mean(sf_dir: str):
+    """Sliding 3-row window aggregate per user (moving average of
+    `value` over the current + 2 preceding events) — the rows-based
+    window shape, bucketed and vectorized like the as-of join."""
+    ds = _read(sf_dir, 'events', columns=['event_id', 'user_id', 'ts', 'value'])
+
+    def roll(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(['user_id', 'ts', 'event_id']).reset_index(drop=True)
+        avg3 = (
+            g.groupby('user_id', sort=False)['value']
+            .rolling(3, min_periods=1).mean()
+            .reset_index(level=0, drop=True)
+        )
+        return pd.DataFrame({
+            'event_id': g['event_id'].values,
+            'user_id': g['user_id'].values,
+            'avg3': np.round(avg3.values, 4),
+        })
+
+    return _bucket_by_user(ds).groupby('_b').map_groups(
+        roll, batch_format='pandas',
+    )
+
+
+EVENTS_SLIDING_SQL = """
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+           AS avg3
+FROM events
+"""
+
+
 def events_distinct_types(sf_dir: str):
     """Distinct values of one column (``Dataset.unique`` — a shuffle)."""
     ds = _read(sf_dir, 'events', columns=['event_type'])
@@ -1344,6 +1426,8 @@ QUERIES = {
     'lineitem_monthly_shipments': (lineitem_monthly_shipments, LINEITEM_MONTHLY_SQL),
     'events_lww_state': (events_lww_state, EVENTS_LWW_SQL),
     'events_sessionize': (events_sessionize, EVENTS_SESSIONIZE_SQL),
+    'events_asof_last_purchase': (events_asof_last_purchase, EVENTS_ASOF_SQL),
+    'events_sliding_mean': (events_sliding_mean, EVENTS_SLIDING_SQL),
     'events_distinct_types': (events_distinct_types, EVENTS_DISTINCT_SQL),
     'orders_union_halves': (orders_union_halves, ORDERS_UNION_SQL),
     'customer_nation_lookup': (customer_nation_lookup, CUSTOMER_NATION_SQL),
