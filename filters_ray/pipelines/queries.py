@@ -243,17 +243,25 @@ def top10_orders_by_revenue(sf_dir: str):
         .groupby('l_orderkey')
         .aggregate(Sum('revenue', alias_name='revenue'))
     )
-    top = grouped.sort(
-        ['revenue', 'l_orderkey'], descending=[True, False],
-    ).limit(10)
 
-    def finish(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            'l_orderkey': batch.column('l_orderkey'),
-            'revenue': _round4(batch.column('revenue')),
-        })
+    # Distributed top-k: each block keeps its own top 10, the driver
+    # merges k × num_blocks candidate rows — no global sort shuffle
+    # (the previous `sort().limit(10)` moved every grouped row).
+    def block_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= 10:
+            return batch
+        rev = batch.column('revenue').to_numpy(zero_copy_only=False)
+        idx = np.argpartition(-rev, 9)[:10]
+        return batch.take(pa.array(np.sort(idx)))
 
-    return top.map_batches(finish, batch_format='pyarrow')
+    candidates = grouped.map_batches(block_topk, batch_format='pyarrow').take_all()
+    df = pd.DataFrame(candidates).sort_values(
+        ['revenue', 'l_orderkey'], ascending=[False, True],
+    ).head(10)
+    return pd.DataFrame({
+        'l_orderkey': df['l_orderkey'].values,
+        'revenue': np.round(df['revenue'].values, 4),
+    })
 
 
 TOP10_ORDERS_SQL = """
