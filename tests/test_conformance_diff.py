@@ -95,7 +95,19 @@ def build_cases():
          ['xxhiyy', 'hi', None]),
         ('regex_hex', lambda m: m.Regex(r'^[0-9a-f]{4}$'),
          [None, 'beef', 'BEEF', 'xyz', '', 42]),
+        # RE2-divergence inputs (ADVICE r1): trailing newline ($ before
+        # \n), Unicode word chars, vertical tab in \s — prove our SCALAR
+        # semantics equal the reference's on exactly these cases (the
+        # vector kernels are separately pinned to the scalar path here).
+        ('regex_newline', lambda m: m.Regex(r'^[0-9a-f]{4}$'),
+         ['beef\n', 'beef\n\n', 'bee\n', None]),
+        ('regex_unicode_w', lambda m: m.Regex(r'^\w+$'),
+         ['héllo', 'дом', 'ok', '!', None]),
+        ('regex_vt_space', lambda m: m.Regex(r'^\s+$'),
+         ['\x0b', ' \t', 'x', None]),
         ('regex_find', lambda m: m.Regex(r'\d+'), ['a1b22c333', 'none here', None]),
+        ('split_ws_vt', lambda m: m.Split(r'\s+'),
+         ['a\x0bb', 'a b', None, ' lead']),
         ('split_plain', lambda m: m.Split(r':'), [None, 'a:b:c', 'solo', 7]),
         ('split_keys', lambda m: m.Split(r':', keys=('a', 'b', 'c')),
          ['x:y', 'x:y:z', 'w:x:y:z', None]),
