@@ -576,6 +576,11 @@ def minhash_dedup(
     duplicate→root mapping, which is bounded by the number of detected
     duplicates, not the corpus (VERDICT r1 #5).
     """
+    # ``ds`` feeds THREE consumers (candidate generation, the verify
+    # semi-join, the survivor filter); materialize once so the lazy
+    # upstream isn't re-executed per consumer. Blocks live in the
+    # (spillable) object store — nothing lands on the driver.
+    ds = ds.materialize()
     pairs_ds = minhash_candidates(
         ds, column=column, key=key, num_perm=num_perm, bands=bands,
         shingle_k=shingle_k, concurrency=concurrency,
