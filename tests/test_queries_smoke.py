@@ -33,3 +33,15 @@ def test_query_executes(name):
     else:
         n = result.count()
     assert n >= 0
+
+
+@pytest.mark.usefixtures('ray_session')
+def test_seeded_sample_deterministic():
+    """lineitem_seeded_sample has no SQL oracle (RNG not shared with
+    DuckDB) — its internal oracle is determinism: same seed, same rows."""
+    from filters_ray.pipelines.queries import lineitem_seeded_sample
+
+    a = lineitem_seeded_sample(SF_DIR).to_pandas().sort_values('l_returnflag')
+    b = lineitem_seeded_sample(SF_DIR).to_pandas().sort_values('l_returnflag')
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    assert a['n'].sum() > 0
