@@ -471,6 +471,29 @@ def verify_jaccard_pairs(
     return joined.map_batches(verify, batch_format='pyarrow')
 
 
+#: Small enough that block partials sum without int64 overflow across
+#: thousands of blocks; modular addition keeps the total independent of
+#: how rows are split into blocks.
+_CHK_MOD = 1 << 40
+
+
+def _labels_checksum(labels) -> int:
+    """Order/partition-independent digest of a (node, label) Dataset."""
+
+    def chk(batch: pa.Table) -> pa.Table:
+        node = np.asarray(batch.column('node').to_pylist(), dtype=object)
+        label = np.asarray(batch.column('label').to_pylist(), dtype=object)
+        h = np.bitwise_xor(
+            pd.util.hash_array(node, categorize=False),
+            pd.util.hash_array(label, categorize=False),
+        )
+        part = int(h.astype(object).sum()) % _CHK_MOD  # exact, no wrap
+        return pa.table({'c': pa.array([part], type=pa.int64())})
+
+    total = labels.map_batches(chk, batch_format='pyarrow').sum('c')
+    return int(total or 0) % _CHK_MOD
+
+
 def connected_components(pairs_ds, num_partitions: int = 16,
                          max_rounds: int = 16):
     """Distributed connected components by bounded-round min-label
@@ -516,12 +539,16 @@ def connected_components(pairs_ds, num_partitions: int = 16,
     labels = labels.map_batches(clip_self, batch_format='pyarrow').materialize()
     if labels.count() == 0:
         return labels
-    prev_sum = None
+    prev_chk = None
     for _ in range(max_rounds):
-        cur_sum = labels.sum('label')
-        if prev_sum is not None and cur_sum == prev_sum:
+        # Convergence check for ANY key type: an order- and partition-
+        # independent checksum of the (node, label) multiset (per-row
+        # SipHash XOR, modular block sums). Labels change ⇒ checksum
+        # changes w.h.p.; equal ⇒ converged.
+        cur_chk = _labels_checksum(labels)
+        if prev_chk is not None and cur_chk == prev_chk:
             break
-        prev_sum = cur_sum
+        prev_chk = cur_chk
         # Propagate: neighbour labels flow along edges, take the min.
         nbr_labels = hash_bucket_join(
             edges, labels, left_on='nbr', right_on='node',
