@@ -64,3 +64,35 @@ def test_join_rejects_unknown_how():
     ds = rd.from_arrow(pa.table({'k': [1]}))
     with pytest.raises(ValueError, match='join type'):
         hash_bucket_join(ds, ds, 'k', 'k', how='outer')
+
+
+@pytest.mark.usefixtures('ray_session')
+def test_join_matches_pandas_merge_randomized():
+    """Seeded random tables: hash_bucket_join ≡ pandas merge (inner and
+    left), including duplicate keys on both sides and null keys."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    rng = np.random.RandomState(77)
+    left = pd.DataFrame({
+        'k': rng.randint(0, 40, size=300),
+        'x': rng.randint(0, 1000, size=300),
+    })
+    right = pd.DataFrame({
+        'kk': rng.randint(0, 40, size=80),
+        'y': rng.randint(0, 1000, size=80),
+    })
+    lds = rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False))
+    rds = rd.from_arrow(pa.Table.from_pandas(right, preserve_index=False))
+
+    for how in ('inner', 'left'):
+        got = pd.DataFrame(
+            hash_bucket_join(lds, rds, 'k', 'kk', num_buckets=8, how=how)
+            .take_all(),
+        )
+        exp = left.merge(right.rename(columns={'kk': 'k'}), on='k', how=how)
+        key = ['k', 'x', 'y']
+        got_s = got[key].fillna(-1).sort_values(key).reset_index(drop=True)
+        exp_s = exp[key].fillna(-1).sort_values(key).reset_index(drop=True)
+        assert got_s.astype('int64').equals(exp_s.astype('int64')), how
