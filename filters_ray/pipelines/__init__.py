@@ -1,13 +1,18 @@
 """End-to-end pipelines: CDC upsert, dedup, similarity, text analysis,
 multimodal plumbing, corpus prep, and the query/oracle surface."""
 
+from ..stages.cogroup import hash_bucket_join
 from .cdc import CDCPipeline, RunReport, cdc_validator_spec, key_partition
+from .codecs import decode_bmp, decode_ppm, decode_wav, sniff_format
 from .corpus import prepare_corpus
 from .dedup import (
+    connected_components,
     embedding_dedup,
     exact_dedup,
+    minhash_candidates,
     minhash_dedup,
     simhash_dedup,
+    verify_jaccard_pairs,
 )
 from .similarity import IvfIndex, knn_brute_force, knn_ivf, train_centroids
 from .text import (
@@ -19,6 +24,14 @@ from .text import (
 
 __all__ = [
     'CDCPipeline',
+    'connected_components',
+    'decode_bmp',
+    'decode_ppm',
+    'decode_wav',
+    'hash_bucket_join',
+    'minhash_candidates',
+    'sniff_format',
+    'verify_jaccard_pairs',
     'IvfIndex',
     'LangIdStage',
     'RunReport',
