@@ -63,8 +63,22 @@ class CompiledChain:
             members = []
         else:
             members = [resolved]
-        self._members = members
-        self._kernels = [make_kernel(m) for m in members]
+        # Filters whose scalar output is a Python object that Arrow must
+        # re-represent (UUID → canonical string) are only vector-safe as
+        # the LAST member: a downstream member would see the string in
+        # the vector path but the object in the scalar path, diverging
+        # on error codes (e.g. Uuid | Regex: wrong_type vs malformed).
+        # Such chains run whole-chain scalar, preserving object flow.
+        from ..functions import string as fstring
+        from .kernels import ScalarFallbackKernel
+
+        if any(isinstance(m, fstring.Uuid) for m in members[:-1]):
+            members = [resolved]
+            self._members = members
+            self._kernels = [ScalarFallbackKernel(resolved)]
+        else:
+            self._members = members
+            self._kernels = [make_kernel(m) for m in members]
         self._scalar_fallbacks: dict = {}
 
     def apply_column(self, arr) -> Tuple[pa.Array, ColumnErrors]:

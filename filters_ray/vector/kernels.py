@@ -17,6 +17,15 @@ boolean ndarray marking rows that failed with ``code``. The contract:
 Filters without a vector implementation fall back to
 :class:`ScalarFallbackKernel`, which loops the compiled scalar chain over
 the batch — correct for every filter, used off the hot path.
+
+Known, deliberate divergence class — COLUMN TYPE UNIFICATION: an Arrow
+column holds one type, so when a batch mixes representations the whole
+column widens to string (Python ints beyond int64; ``Optional`` string
+defaults landing in a numeric column). Error codes still match the
+scalar filters in these cases except when a >int64 value flows into a
+later member (the scalar path hands it the int object, the vector path
+the stringified column). Verified by the randomized chain soak: all
+other scalar/vector divergences are parity bugs and treated as such.
 """
 
 from __future__ import annotations
@@ -259,7 +268,10 @@ def _kernel_strip(filt: fstring.Strip) -> Callable[[pa.Array], KernelResult]:
     return kernel
 
 
-_NPR_PATTERN = r'[^\P{C}\s]+'  # non-printables, excluding whitespace
+# Non-printables excluding whitespace. \x0b is explicitly excluded from
+# removal: Python's \s includes vertical tab, RE2's does not, so without
+# it RE2 would strip \x0b where the scalar filter keeps it.
+_NPR_PATTERN = r'[^\P{C}\s\x0b]+'
 
 
 def _normalize_string_array(arr: pa.Array) -> pa.Array:

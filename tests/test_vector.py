@@ -83,6 +83,18 @@ CASES = [
     ('casefold', lambda: f.CaseFold, STRINGS, None),
     ('strip', lambda: f.Strip, STRINGS, None),
     ('unicode', lambda: f.Unicode, STRINGS, None),
+    # \x0b is whitespace to Python (kept by the non-printable strip)
+    # but not to RE2 — the vector path must keep it too (soak finding).
+    ('unicode_vertical_tab', lambda: f.Unicode,
+     ['\x0b', 'a\x0bb', '\x0c', 'a\x00b', None], None),
+    ('maxbytes_vertical_tab', lambda: f.MaxBytes(4),
+     ['\x0b', 'ab\x0bcd', None], None),
+    # Uuid mid-chain: downstream members must see the UUID OBJECT (the
+    # scalar semantics), not the canonical string → whole-chain scalar.
+    ('uuid_then_regex', lambda: f.Uuid | f.Regex(r'^[0-9a-f-]+$'),
+     ['3466c56a-2f7e-4e5b-affa-292cbe84c2fb', 'nope', None], None),
+    ('uuid_then_maxlen', lambda: f.Uuid | f.MaxLength(50),
+     ['3466c56a-2f7e-4e5b-affa-292cbe84c2fb', None], None),
     ('unicode_int', lambda: f.Unicode, INTS, None),
     ('unicode_float', lambda: f.Unicode, [1.5, None, -2.25], None),
     ('unicode_bool', lambda: f.Unicode, [True, False, None], None),
