@@ -190,16 +190,59 @@ def _kernel_lengths(filt) -> Callable[[pa.Array], KernelResult]:
     return kernel
 
 
+def _compatible_choices(choices, t) -> Optional[list]:
+    """Choices that can equal a value of Arrow type ``t`` under PYTHON
+    equality (scalar membership semantics): bytes never match str (and
+    Arrow's silent str→binary cast must not pretend otherwise), while
+    bool/int/float cross-match numerically. ``None`` ⇒ exotic choice
+    types, fall back to the scalar filter."""
+    out = []
+    for c in choices:
+        if isinstance(c, bool):
+            if pa.types.is_boolean(t):
+                out.append(c)
+            elif pa.types.is_integer(t) or pa.types.is_floating(t):
+                out.append(int(c))
+        elif isinstance(c, int):
+            if pa.types.is_integer(t) or pa.types.is_floating(t):
+                out.append(c)
+            elif pa.types.is_boolean(t) and c in (0, 1):
+                out.append(bool(c))
+        elif isinstance(c, float):
+            if pa.types.is_floating(t):
+                out.append(c)
+            elif pa.types.is_integer(t) and c.is_integer():
+                out.append(int(c))
+            elif pa.types.is_boolean(t) and c in (0.0, 1.0):
+                out.append(bool(c))
+        elif isinstance(c, str):
+            if pa.types.is_string(t) or pa.types.is_large_string(t):
+                out.append(c)
+        elif isinstance(c, (bytes, bytearray)):
+            if pa.types.is_binary(t) or pa.types.is_large_binary(t) \
+                    or pa.types.is_fixed_size_binary(t):
+                out.append(bytes(c))
+        else:
+            return None
+    return out
+
+
 def _kernel_choice(filt: fsimple.Choice) -> Callable[[pa.Array], KernelResult]:
     choices = sorted(filt.choices, key=repr)
+    scalar_fb = ScalarFallbackKernel(filt)
 
     def kernel(arr: pa.Array) -> KernelResult:
-        try:
-            value_set = pa.array(choices, type=arr.type)
-        except (pa.ArrowInvalid, pa.ArrowTypeError):
-            # Type mismatch between column and choice set: nothing matches.
+        compat = _compatible_choices(choices, arr.type)
+        if compat is None:
+            return scalar_fb(arr)
+        if not compat:
+            # No choice can equal this column's type: nothing matches.
             bad = _not_null_mask(arr)
             return KernelResult(_nullify(arr, bad), [(bad, filt.CODE_INVALID, '')] if bad.any() else [])
+        try:
+            value_set = pa.array(compat, type=arr.type)
+        except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):
+            return scalar_fb(arr)
         ok = _as_bool_ndarray(pc.is_in(arr, value_set=value_set), len(arr))
         bad = ~ok & _not_null_mask(arr)
         return KernelResult(_nullify(arr, bad), [(bad, filt.CODE_INVALID, '')] if bad.any() else [])

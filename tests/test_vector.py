@@ -80,6 +80,14 @@ CASES = [
     ('maxlen_int', lambda: f.MaxLength(4), INTS, None),
     ('choice', lambda: f.Choice(choices={'foo', 'BAR'}), STRINGS, None),
     ('choice_int', lambda: f.Choice(choices={1, 2}), INTS, None),
+    # bytes column vs str choices: Python equality says NO match (Arrow
+    # would silently encode the str set to bytes — soak finding).
+    ('choice_bytes_vs_str', lambda: f.Choice(choices={'1', 'a'}),
+     [b'1', b'a', b'x', None], pa.binary()),
+    ('choice_after_bytestring', lambda: f.ByteString | f.Choice(choices={'1', 'a'}),
+     ['1', 'a', 'x', None], None),
+    ('choice_bool_vs_int', lambda: f.Choice(choices={1, 3}),
+     [True, False, None], None),  # Python: True == 1 → accepted
     ('casefold', lambda: f.CaseFold, STRINGS, None),
     ('strip', lambda: f.Strip, STRINGS, None),
     ('unicode', lambda: f.Unicode, STRINGS, None),
