@@ -24,7 +24,12 @@ column widens to string (Python ints beyond int64; ``Optional`` string
 defaults landing in a numeric column). Error codes still match the
 scalar filters in these cases except when a >int64 value flows into a
 later member (the scalar path hands it the int object, the vector path
-the stringified column). Verified by the randomized chain soak: all
+the stringified column). Arrow's binary type likewise erases the
+bytes/bytearray distinction: ``ByteArray | Choice`` yields 'exception'
+scalar-side (bytearray is unhashable) but bytes-membership semantics
+vector-side. Bytes-valued Choice sets crash when rendering a rejection
+— identically to the reference library (verified), an unsupported
+configuration there too. Verified by the randomized chain soak: all
 other scalar/vector divergences are parity bugs and treated as such.
 """
 
