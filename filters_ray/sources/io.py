@@ -38,9 +38,18 @@ def write_partitioned(
     ds,
     root: str,
     min_rows_per_file: int = 500_000,
+    partition_cols: Optional[List[str]] = None,
     **kwargs,
 ):
-    """Partitioned parquet sink (directory of part files)."""
+    """Partitioned parquet sink.
+
+    With ``partition_cols`` the output is a Hive-style directory per key
+    value (``col=value/``) — the resumable layout: a re-run can skip or
+    re-write individual key partitions instead of one giant file. Without
+    it, files are still split by ``min_rows_per_file``.
+    """
+    if partition_cols:
+        kwargs['partition_cols'] = partition_cols
     try:
         return ds.write_parquet(root, min_rows_per_file=min_rows_per_file, **kwargs)
     except TypeError:

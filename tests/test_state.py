@@ -101,3 +101,28 @@ def test_schema_registry_as_actor(tmp_path):
     ray.get(actor.register.remote(pa.schema([('x', pa.int32())])))
     out = ray.get(actor.register.remote(pa.schema([('z', pa.bool_())])))
     assert set(out.names) == {'x', 'z'}
+
+
+@pytest.mark.usefixtures('ray_session')
+def test_write_partitioned_by_key(tmp_path):
+    """Keyed partitioned write: one Hive-style directory per key value,
+    round-trips through read_table with column pruning."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from filters_ray.sources.io import read_table, write_partitioned
+
+    ds = rd.from_arrow(pa.table({
+        'lang': ['en', 'de', 'en', 'fr', 'de', 'en'],
+        'doc_id': list(range(6)),
+        'text': [f't{i}' for i in range(6)],
+    }))
+    out = str(tmp_path / 'by_lang')
+    write_partitioned(ds, out, partition_cols=['lang'])
+    dirs = sorted(d for d in os.listdir(out) if d.startswith('lang='))
+    assert dirs == ['lang=de', 'lang=en', 'lang=fr']
+
+    back = read_table(out, columns=['doc_id']).to_pandas()
+    assert sorted(back['doc_id']) == list(range(6))
