@@ -200,7 +200,15 @@ def _compatible_choices(choices, t) -> Optional[list]:
     equality (scalar membership semantics): bytes never match str (and
     Arrow's silent str→binary cast must not pretend otherwise), while
     bool/int/float cross-match numerically. ``None`` ⇒ exotic choice
-    types, fall back to the scalar filter."""
+    types OR a nested column type (list/struct/map values are unhashable
+    scalar-side → membership raises code 'exception'), fall back to the
+    scalar filter."""
+    if (
+        pa.types.is_list(t) or pa.types.is_large_list(t)
+        or pa.types.is_fixed_size_list(t) or pa.types.is_struct(t)
+        or pa.types.is_map(t)
+    ):
+        return None
     out = []
     for c in choices:
         if isinstance(c, bool):

@@ -88,6 +88,10 @@ CASES = [
      ['1', 'a', 'x', None], None),
     ('choice_bool_vs_int', lambda: f.Choice(choices={1, 3}),
      [True, False, None], None),  # Python: True == 1 → accepted
+    # list values are unhashable → scalar set membership raises
+    # (code 'exception'); the kernel must route nested columns scalar.
+    ('choice_after_split', lambda: f.Split(':') | f.Choice(choices={'a', 'b'}),
+     ['a:b', 'a', None], None),
     ('casefold', lambda: f.CaseFold, STRINGS, None),
     ('strip', lambda: f.Strip, STRINGS, None),
     ('unicode', lambda: f.Unicode, STRINGS, None),
