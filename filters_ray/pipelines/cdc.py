@@ -248,12 +248,24 @@ def _dlq_counts(table: pa.Table) -> Dict[str, int]:
 
 
 def _dedup_by_lsn(table: pa.Table) -> pa.Table:
-    """Keep the first row per raw lsn (null-lsn rows all kept)."""
+    """Keep the first row per raw lsn (null-lsn rows all kept).
+
+    Exact-integer dedup: a ``to_numpy`` on a nullable int64 column would
+    round-trip through float64 (NaN for nulls), where distinct lsns above
+    2^53 collide — so nulls are masked out first and ``np.unique`` runs
+    over the exact int64 values of the non-null rows only.
+    """
     col = table.column(RAW_LSN_COLUMN).combine_chunks()
-    vals = col.to_numpy(zero_copy_only=False)  # float64 + NaN when nulls
-    dup = pd.Series(vals).duplicated().to_numpy()
     null = _as_np_bool(pc.is_null(col))
-    keep = ~dup | null  # pandas treats NaN==NaN as dup; nulls all stay
+    nn_idx = np.flatnonzero(~null)
+    if nn_idx.size == 0:
+        return table
+    vals = np.asarray(
+        pc.fill_null(col, 0).to_numpy(zero_copy_only=False), dtype=np.int64,
+    )[nn_idx]
+    _, first = np.unique(vals, return_index=True)
+    keep = null.copy()
+    keep[nn_idx[first]] = True
     if keep.all():
         return table
     return table.filter(pa.array(keep))

@@ -109,8 +109,12 @@ def hash_bucket_join(
 
     def merge_bucket(group: pd.DataFrame) -> pa.Table:
         # Disjoint non-key columns (checked above) ⇒ no suffixing needed.
-        ldf = group[group[_SIDE] == 0][[_KEY] + lcols]
-        rdf = group[group[_SIDE] == 1][[_KEY] + rcols]
+        # SQL null semantics: a null key matches nothing (pandas merge
+        # would match NaN==NaN) — null-key right rows never join; null-key
+        # left rows drop under 'inner' and survive unmatched under 'left'.
+        notna = group[_KEY].notna()
+        ldf = group[(group[_SIDE] == 0) & (notna if how == 'inner' else True)][[_KEY] + lcols]
+        rdf = group[(group[_SIDE] == 1) & notna][[_KEY] + rcols]
         merged = ldf.merge(rdf, on=_KEY, how=how)
         # The union's null padding floats int columns in pandas — rebuild
         # each column at its original Arrow type (NaN → null).

@@ -202,11 +202,18 @@ def _compatible_choices(choices, t) -> Optional[list]:
     bool/int/float cross-match numerically. ``None`` ⇒ exotic choice
     types OR a nested column type (list/struct/map values are unhashable
     scalar-side → membership raises code 'exception'), fall back to the
-    scalar filter."""
-    if (
-        pa.types.is_list(t) or pa.types.is_large_list(t)
-        or pa.types.is_fixed_size_list(t) or pa.types.is_struct(t)
-        or pa.types.is_map(t)
+    scalar filter.  Only column types whose Python-equality behavior is
+    modeled below may proceed — anything else (nested, decimal128,
+    dictionary-encoded, temporal, ...) routes scalar, because e.g.
+    ``Decimal('1') in {1}`` and dict-encoded ``'a' in {'a'}`` are True
+    under Python equality while an empty compat list would wrongly flag
+    every non-null row."""
+    if not (
+        pa.types.is_boolean(t) or pa.types.is_integer(t)
+        or pa.types.is_floating(t)
+        or pa.types.is_string(t) or pa.types.is_large_string(t)
+        or pa.types.is_binary(t) or pa.types.is_large_binary(t)
+        or pa.types.is_fixed_size_binary(t) or pa.types.is_null(t)
     ):
         return None
     out = []
@@ -996,6 +1003,8 @@ def _kernel_round(filt) -> Callable[[pa.Array], KernelResult]:
             pc.fill_null(arr.cast(pa.int64()), 0).to_numpy(zero_copy_only=False),
             dtype=np.int64,
         )
+        if vals.min(initial=0) == np.iinfo(np.int64).min:
+            return scalar_fb(arr)  # |INT64_MIN| wraps under np.abs
         if np.abs(vals).max(initial=0) > (1 << 62) - n_int:
             return scalar_fb(arr)  # doubling overflow guard
         mags = (np.abs(vals) * 2 + n_int) // (2 * n_int) * n_int

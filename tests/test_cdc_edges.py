@@ -73,3 +73,21 @@ def test_lake_reader_composes_with_ray_pipelines(tmp_path):
     lake = pipeline.as_dataset()
     per_lang = lake.groupby('lang').aggregate(Count(alias_name='n')).to_pandas()
     assert per_lang['n'].sum() == pipeline.final_table().num_rows
+
+
+def test_dedup_by_lsn_exact_above_2_53():
+    """Distinct int64 lsns that collide in float64 must NOT dedup each
+    other, and null-lsn rows all stay (ADVICE r2: the old to_numpy path
+    round-tripped through float64+NaN)."""
+    from filters_ray.pipelines.cdc import RAW_LSN_COLUMN, _dedup_by_lsn
+
+    base = 1 << 53  # float64 can't represent base+1 distinctly from base
+    t = pa.table({
+        RAW_LSN_COLUMN: pa.array(
+            [base, base + 1, None, base, None, 7], type=pa.int64(),
+        ),
+        'v': pa.array([0, 1, 2, 3, 4, 5]),
+    })
+    out = _dedup_by_lsn(t)
+    # keeps: first base, base+1 (distinct!), both nulls, 7; drops dup base
+    assert out.column('v').to_pylist() == [0, 1, 2, 4, 5]

@@ -96,3 +96,28 @@ def test_join_matches_pandas_merge_randomized():
         got_s = got[key].fillna(-1).sort_values(key).reset_index(drop=True)
         exp_s = exp[key].fillna(-1).sort_values(key).reset_index(drop=True)
         assert got_s.astype('int64').equals(exp_s.astype('int64')), how
+
+
+@pytest.mark.usefixtures('ray_session')
+def test_null_keys_never_match():
+    """SQL semantics: a null join key matches nothing (pandas merge would
+    match NaN==NaN). Inner drops null-key rows; left keeps left ones
+    unmatched."""
+    import ray.data as rd
+
+    left = rd.from_arrow(pa.table({'k': [1, None, 2], 'x': [10, 11, 20]}))
+    right = rd.from_arrow(pa.table({'kk': [None, 2], 'y': ['n', 'b']}))
+
+    inner = sorted(
+        (r['k'], r['x'], r['y'])
+        for r in hash_bucket_join(left, right, 'k', 'kk', num_buckets=4).take_all()
+    )
+    assert inner == [(2, 20, 'b')]
+
+    left_rows = sorted(
+        (r['x'], r['y'])
+        for r in hash_bucket_join(
+            left, right, 'k', 'kk', num_buckets=4, how='left',
+        ).take_all()
+    )
+    assert left_rows == [(10, None), (11, None), (20, 'b')]

@@ -92,6 +92,16 @@ CASES = [
     # (code 'exception'); the kernel must route nested columns scalar.
     ('choice_after_split', lambda: f.Split(':') | f.Choice(choices={'a', 'b'}),
      ['a:b', 'a', None], None),
+    # decimal128 column (the Decimal kernel's output): Python equality
+    # says Decimal('1') in {1} is True — the kernel must route scalar,
+    # not emit an empty choice set (ADVICE r2).
+    ('choice_after_decimal', lambda: f.Decimal | f.Choice(choices={1, 2}),
+     ['1', '2', '3', None], None),
+    ('choice_decimal_col', lambda: f.Choice(choices={1, 2}),
+     [D('1'), D('3'), None], pa.decimal128(10, 0)),
+    # dictionary-encoded column: dict-encoded 'a' in {'a'} is True.
+    ('choice_dict_col', lambda: f.Choice(choices={'a', 'b'}),
+     ['a', 'c', None, 'b'], pa.dictionary(pa.int32(), pa.string())),
     ('casefold', lambda: f.CaseFold, STRINGS, None),
     ('strip', lambda: f.Strip, STRINGS, None),
     ('unicode', lambda: f.Unicode, STRINGS, None),
@@ -128,6 +138,9 @@ CASES = [
     ('round_int_result_int', lambda: f.Round(10, result_type=int),
      [4, 5, 6, -5, None], None),
     ('round_str', lambda: f.Round('0.1'), ['1.27', '0.35', None, 'x'], None),
+    # INT64_MIN: np.abs wraps, so the overflow guard must route scalar
+    # instead of emitting silently wrong rounded values (ADVICE r2).
+    ('round_int64_min', lambda: f.Round(5), [-(1 << 63), 4, None], None),
     ('ipv6_only', lambda: f.IpAddress(ipv4=False, ipv6=True),
      ['::1', '2001:db8::ff00:42:8329', '127.0.0.1', 'nope', '', None,
       '2001:0db8:0000:0000:0000:ff00:0042:8329'], None),
