@@ -6,19 +6,29 @@ table-level meta so replay reshuffles identically — SURVEY.md §4)::
     <lake_root>/
       _meta.json                      # num_partitions, key columns, created
       part=<p>/
-        data.parquet                  # canonical rows, sorted by (repo, path)
-        manifest.json                 # hwm_lsn, rows, bytes, sha256, counts
+        data.parquet                  # base rows, sorted by (repo, path)
+        delta-<lo>-<hi>.parquet       # per-micro-batch upsert deltas
+        manifest.json                 # hwm_lsn, rows, sha256, counts, deltas
       _dlq/part=<p>/dlq.parquet       # dead-letter rows for partition p
 
 Commit protocol (idempotent under task retry):
 
 1. write ``data.parquet.tmp-<nonce>`` + ``manifest.json.tmp-<nonce>``
-2. ``os.replace`` data, then manifest (atomic on POSIX)
+2. ``os.replace`` data/delta, then manifest (atomic on POSIX)
 
 A partition is committed iff its ``manifest.json`` exists; a crashed task
 leaves only tmp files, and a retried/resumed task overwrites them. On
 resume, events with ``lsn <= hwm_lsn`` are dropped before merging, so
 replaying any suffix (or the whole log) reproduces the identical table.
+
+Delta protocol (VERDICT r2 #5 — no full-partition rewrite per
+micro-batch): a run appends one sorted delta file per touched partition
+(name derived from the run's LSN range, so a replayed window overwrites
+its own file); the manifest's ``deltas`` list is the authority — files
+not listed are orphans and are ignored by every reader. Readers
+merge-on-read (base ∪ deltas, last-writer-wins, tombstones dropped);
+when the list reaches the pipeline's ``compact_every`` the partition is
+compacted back into one base file and the list empties.
 """
 
 from __future__ import annotations
@@ -36,12 +46,19 @@ __all__ = ['PartitionManifest', 'TableMeta', 'ManifestStore']
 class PartitionManifest:
     partition_id: int
     hwm_lsn: int            # highest LSN applied into this partition
-    rows: int
+    rows: int               # LIVE rows in the merged (base ∪ deltas) view
     bytes: int
-    sha256: str             # digest over the canonical row encoding
+    sha256: str             # canonical-state digest (chained on delta commits)
     rejected_by_code: Dict[str, int] = field(default_factory=dict)
     events_applied: int = 0
     events_skipped: int = 0  # duplicates / below-watermark drops
+    # Active delta files (ordered, oldest first). THE authority: unlisted
+    # delta files are crash orphans and must be ignored by readers.
+    deltas: list = field(default_factory=list)
+    # Negative (corrupt, unwatermarkable) LSNs whose rejections are
+    # already folded into rejected_by_code — re-deliveries don't recount
+    # (incremental DLQ accounting, VERDICT r2 #3).
+    dlq_corrupt_lsns: list = field(default_factory=list)
 
 
 @dataclass
@@ -92,6 +109,27 @@ class ManifestStore:
     def dlq_path(self, pid: int) -> str:
         return os.path.join(self.root, '_dlq', f'part={pid}', 'dlq.parquet')
 
+    def delta_path(self, pid: int, name: str) -> str:
+        return os.path.join(self.partition_dir(pid), name)
+
+    def clean_orphan_deltas(self, pid: int, active: list) -> None:
+        """Remove delta files not listed in the committed manifest (crash
+        leftovers / just-compacted files). Safe post-commit: the manifest
+        is the read authority, so removal only reclaims space."""
+        keep = set(active)
+        part_dir = self.partition_dir(pid)
+        if not os.path.isdir(part_dir):
+            return
+        for name in os.listdir(part_dir):
+            if (
+                name.startswith('delta-') and name.endswith('.parquet')
+                and name not in keep
+            ):
+                try:
+                    os.remove(os.path.join(part_dir, name))
+                except FileNotFoundError:
+                    pass
+
     def read_manifest(self, pid: int) -> Optional[PartitionManifest]:
         try:
             with open(self.manifest_path(pid)) as fh:
@@ -107,13 +145,19 @@ class ManifestStore:
         self,
         manifest: PartitionManifest,
         tmp_data_path: Optional[str],
+        remove_data: bool = True,
     ) -> None:
-        """Atomically publish a partition: data first, then manifest."""
+        """Atomically publish a partition: data first, then manifest.
+
+        ``tmp_data_path=None`` with ``remove_data=True`` (the full-state
+        commit contract) removes a stale base — the partition became
+        empty. Delta/noop commits pass ``remove_data=False``: they don't
+        carry the full state, so an existing base must survive."""
         pid = manifest.partition_id
         os.makedirs(self.partition_dir(pid), exist_ok=True)
         if tmp_data_path is not None:
             os.replace(tmp_data_path, self.data_path(pid))
-        elif os.path.exists(self.data_path(pid)):
+        elif remove_data and os.path.exists(self.data_path(pid)):
             # Partition became empty (all rows deleted): remove stale data.
             os.remove(self.data_path(pid))
         _atomic_write_json(self.manifest_path(pid), asdict(manifest))
