@@ -18,11 +18,71 @@ from typing import Any, Dict
 
 from .base import BaseFilter
 
-__all__ = ['FilterExtensionRegistry', 'GROUP_NAME']
+__all__ = [
+    'FilterExtensionRegistry',
+    'GROUP_NAME',
+    'is_filter_type',
+    'iter_filters_in',
+]
 
 GROUP_NAME = 'filters_ray.extensions'
 
 logger = logging.getLogger(__name__)
+
+#: Ensures the legacy-loader deprecation warning is only shown once.
+legacy_warned = False
+
+
+def is_filter_type(target) -> 'bool | str':
+    """``True`` if ``target`` can register as a filter, else the reason
+    string (reference extensions.py:120-139)."""
+    import inspect
+
+    if not inspect.isclass(target):
+        return 'not a class'
+    if not issubclass(target, BaseFilter):
+        return 'does not extend BaseFilter'
+    if inspect.isabstract(target):
+        return 'abstract class'
+    return True
+
+
+def iter_filters_in(target):
+    """Legacy module-scan extension loader (reference
+    extensions.py:142-207): an entry point that names a MODULE instead of
+    a filter class yields every concrete ``BaseFilter`` subclass found in
+    it, keyed by class name. Deprecated (warns once) — declare one entry
+    point per filter class instead."""
+    import inspect
+    from warnings import warn
+
+    global legacy_warned
+    if not legacy_warned:
+        # Flag first, in case the caller has simplefilter('error') set.
+        legacy_warned = True
+        warn(
+            'Legacy extension loader is deprecated; declare one entry '
+            'point per filter class instead.',
+            DeprecationWarning,
+        )
+
+    ift = is_filter_type(target)
+    if ift is True:
+        logger.debug('Registering extension filter %s.%s',
+                     target.__module__, target.__name__)
+        yield target.__name__, target
+    elif inspect.ismodule(target):
+        for member_name, member in inspect.getmembers(target):
+            member_ift = is_filter_type(member)
+            if member_ift is True:
+                logger.debug('Registering extension filter %s.%s',
+                             member.__module__, member.__name__)
+                yield member.__name__, member
+            else:
+                logger.debug('Ignoring %s.%s (%s)',
+                             target.__name__, member_name, member_ift)
+    else:
+        logger.debug('Ignoring %r (%s)', target, ift)
 
 
 class FilterExtensionRegistry:
@@ -48,7 +108,7 @@ class FilterExtensionRegistry:
             except Exception:  # noqa: BLE001 — a broken plugin must not kill the host
                 logger.exception('Unable to load extension filter %r', ep.name)
                 continue
-            if isinstance(target, type) and issubclass(target, BaseFilter):
+            if is_filter_type(target) is True:
                 if ep.name in self._cache:
                     logger.warning(
                         'Duplicate extension filter name %r; keeping first.',
@@ -57,10 +117,15 @@ class FilterExtensionRegistry:
                     continue
                 self._cache[ep.name] = target
             else:
-                logger.warning(
-                    'Entry point %r does not resolve to a BaseFilter subclass.',
-                    ep.name,
-                )
+                # Legacy loader: entry point names a module — scan it.
+                for name, cls in iter_filters_in(target):
+                    if name in self._cache:
+                        logger.warning(
+                            'Duplicate extension filter name %r; keeping first.',
+                            name,
+                        )
+                        continue
+                    self._cache[name] = cls
 
     def __getattr__(self, name: str) -> Any:
         self._ensure_loaded()

@@ -1046,6 +1046,53 @@ def docs_lang_id(sf_dir: str):
     return out.select_columns(['doc_id', 'lang_pred', 'lang_conf'])
 
 
+def _lang_id_sql() -> str:
+    """SQL mirror of LangIdStage generated from the SAME profile dict, so
+    the stopword patterns are identical by construction (DuckDB's regexp
+    engine is RE2, like pyarrow's — non-overlapping hit counts match
+    exactly, and the ratio/argmax arithmetic is same-order IEEE doubles;
+    the DOCS_QUALITY_SQL trick). Tie-break mirrors np.argmax: first
+    language in profile order wins."""
+    from .text import _LANG_PROFILES, lang_pattern
+
+    langs = list(_LANG_PROFILES)
+    hit_cols = ',\n           '.join(
+        "CAST(len(regexp_extract_all(text, '{}')) AS DOUBLE) AS h_{}".format(
+            lang_pattern(words).replace("'", "''"), lang,
+        )
+        for lang, words in _LANG_PROFILES.items()
+    )
+    score_cols = ', '.join(f'h_{lang} / tot AS s_{lang}' for lang in langs)
+    all_scores = ', '.join(f's_{lang}' for lang in langs)
+    case = '\n             '.join(
+        f"WHEN s_{lang} >= greatest({all_scores}) THEN '{lang}'"
+        for lang in langs
+    )
+    return f"""
+WITH feats AS (
+    SELECT doc_id,
+           greatest(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE),
+                    1.0) AS tot,
+           {hit_cols}
+    FROM documents
+), scores AS (
+    SELECT doc_id, {score_cols} FROM feats
+), best AS (
+    SELECT doc_id,
+           greatest({all_scores}) AS lang_conf,
+           CASE {case} END AS pred
+    FROM scores
+)
+SELECT doc_id,
+       CASE WHEN lang_conf < 0.05 THEN 'unknown' ELSE pred END AS lang_pred,
+       lang_conf
+FROM best
+"""
+
+
+DOCS_LANG_ID_SQL = _lang_id_sql()
+
+
 def docs_quality(sf_dir: str):
     from .text import add_quality_score
 
@@ -1504,9 +1551,9 @@ QUERIES = {
     'embeddings_label_centroids': (embeddings_label_centroids, EMB_LABEL_SQL),
     'events_cdc_upsert': (events_cdc_upsert, EVENTS_CDC_SQL),
     'cdc_lake_repo_stats': (cdc_lake_repo_stats, CDC_LAKE_STATS_SQL),
-    # non-SQL-expressible (rows-only driver check):
-    'docs_lang_id': (docs_lang_id, None),
+    'docs_lang_id': (docs_lang_id, DOCS_LANG_ID_SQL),
     'docs_quality': (docs_quality, DOCS_QUALITY_SQL),
+    # non-SQL-expressible (rows-only driver check):
     'docs_fingerprint': (docs_fingerprint, None),
     'docs_minhash_pairs': (docs_minhash_pairs, None),
     'docs_simhash_pairs': (docs_simhash_pairs, None),

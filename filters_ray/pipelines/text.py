@@ -119,14 +119,29 @@ def add_fingerprint(batch: pa.Table, column: str = 'text') -> pa.Table:
 
 # Stopword profiles for the n-gram/stopword language-ID heuristic. Small
 # on purpose: the point is the actor-pool pattern (compile once per actor,
-# vectorized RE2 counting per batch), not SOTA accuracy.
+# vectorized RE2 counting per batch), not SOTA accuracy. Order matters:
+# ties resolve to the FIRST language (np.argmax semantics), mirrored in
+# the query surface's SQL oracle.
 _LANG_PROFILES: Dict[str, List[str]] = {
     'en': ['the', 'and', 'of', 'to', 'in', 'is', 'that', 'it', 'for', 'was'],
     'de': ['der', 'die', 'und', 'das', 'ist', 'nicht', 'mit', 'ein', 'zu', 'den'],
     'fr': ['le', 'la', 'et', 'les', 'des', 'est', 'une', 'dans', 'que', 'pour'],
     'es': ['el', 'la', 'de', 'que', 'los', 'las', 'por', 'con', 'una', 'del'],
     'it': ['il', 'di', 'che', 'la', 'per', 'una', 'sono', 'non', 'con', 'del'],
+    # Chinese is not whitespace-tokenized: common function characters,
+    # counted WITHOUT \b (RE2 word boundaries are ASCII-only and never
+    # fire between CJK codepoints).
+    'zh': ['的', '是', '了', '在', '我', '有', '和', '不', '人', '这'],
 }
+
+
+def lang_pattern(words: List[str]) -> str:
+    """RE2 stopword-hit pattern for one language. ASCII (space-delimited)
+    profiles get word boundaries; CJK profiles count raw occurrences."""
+    body = '|'.join(words)
+    if all(w.isascii() for w in words):
+        return r'(?i)\b(?:' + body + r')\b'
+    return '(?:' + body + ')'
 
 
 class LangIdStage:
@@ -142,8 +157,7 @@ class LangIdStage:
         self.column = column
         self.profiles = profiles or _LANG_PROFILES
         self.patterns = {
-            lang: r'(?i)\b(?:' + '|'.join(words) + r')\b'
-            for lang, words in self.profiles.items()
+            lang: lang_pattern(words) for lang, words in self.profiles.items()
         }
 
     def __call__(self, batch: pa.Table) -> pa.Table:

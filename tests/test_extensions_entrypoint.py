@@ -69,3 +69,75 @@ def test_extension_composes_into_chain(fake_dist):
     )
     assert out.to_pylist() == ['A', None, 'BC']
     assert not any(errors.codes_per_row())
+
+
+def test_legacy_module_scan_loader(tmp_path, monkeypatch):
+    """Legacy loader (reference extensions.py:142-207): an entry point
+    naming a MODULE registers every concrete BaseFilter subclass in it,
+    with a one-time DeprecationWarning."""
+    import types
+    import warnings
+
+    from filters_ray.functions import extensions as ext_mod
+    from filters_ray.functions.extensions import iter_filters_in
+
+    mod = types.ModuleType('legacy_ext_filters')
+
+    class Shout(f.BaseFilter):
+        def _apply(self, value):
+            return value
+
+    class Whisper(f.BaseFilter):
+        def _apply(self, value):
+            return value
+
+    mod.Shout = Shout
+    mod.Whisper = Whisper
+    mod.not_a_filter = 42
+    mod.BaseFilter = f.BaseFilter  # abstract → skipped
+
+    monkeypatch.setattr(ext_mod, 'legacy_warned', False)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter('always')
+        found = dict(iter_filters_in(mod))
+    assert found == {'Shout': Shout, 'Whisper': Whisper}
+    assert any(issubclass(w.category, DeprecationWarning) for w in caught)
+
+    # Warned exactly once across calls.
+    with warnings.catch_warnings(record=True) as again:
+        warnings.simplefilter('always')
+        dict(iter_filters_in(mod))
+    assert not any(issubclass(w.category, DeprecationWarning) for w in again)
+
+    # A class entry point yields itself; junk yields nothing.
+    assert dict(iter_filters_in(Shout)) == {'Shout': Shout}
+    assert dict(iter_filters_in(42)) == {}
+
+
+def test_legacy_loader_via_registry(monkeypatch):
+    """The registry routes non-filter entry-point targets through the
+    legacy module scan."""
+    import types
+
+    from filters_ray.functions import extensions as ext_mod
+
+    mod = types.ModuleType('legacy_reg_filters')
+
+    class Echo(f.BaseFilter):
+        def _apply(self, value):
+            return value
+
+    mod.Echo = Echo
+
+    class FakeEp:
+        name = 'legacy_reg_filters'
+
+        @staticmethod
+        def load():
+            return mod
+
+    monkeypatch.setattr(ext_mod, 'legacy_warned', True)
+    monkeypatch.setattr(ext_mod, 'entry_points', lambda group: [FakeEp()])
+    reg = FilterExtensionRegistry()
+    assert reg.Echo is Echo
+    assert len(reg) == 1

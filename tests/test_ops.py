@@ -80,6 +80,19 @@ def test_lang_id_stage():
     assert preds[3] == 'de'
 
 
+def test_lang_id_detects_chinese():
+    """zh profile (VERDICT r2 #6): CJK stopchars count without \\b (RE2
+    word boundaries never fire between CJK codepoints)."""
+    stage = LangIdStage()
+    table = pa.table({
+        'doc_id': [0, 1],
+        'text': ['我有一个测试的句子，这是不错的例子。',
+                 'the quick brown fox is in the yard'],
+    })
+    out = stage(table)
+    assert out.column('lang_pred').to_pylist() == ['zh', 'en']
+
+
 # ---------------------------------------------------------------------------
 # dedup primitives
 # ---------------------------------------------------------------------------
