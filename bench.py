@@ -150,18 +150,26 @@ QUERY_SUBSET = [
 
 
 def run_queries() -> dict:
+    """Per-query wall time; ``GRAFT_QUERY_PASSES=N`` reports best-of-N
+    (host noise on this shared box reaches 2.4× on n=1 — use ≥3 passes
+    when comparing rounds; see the per-query bands in BASELINE.md)."""
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
+    passes = int(os.environ.get('GRAFT_QUERY_PASSES', '1'))
     out = {}
     for name in QUERY_SUBSET:
         fn = qs[name]
-        t0 = time.time()
-        result = fn(SF_DIR)
-        # Force execution of lazy datasets.
-        if hasattr(result, 'materialize'):
-            result = result.materialize()
-        out[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(passes):
+            t0 = time.time()
+            result = fn(SF_DIR)
+            # Force execution of lazy datasets.
+            if hasattr(result, 'materialize'):
+                result = result.materialize()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
     return out
 
 

@@ -336,26 +336,31 @@ def _ensure_op(table: pa.Table) -> pa.Table:
     return table
 
 
+def _drop_tombstones(latest: pa.Table) -> pa.Table:
+    """Filter deleted keys out of an LWW result (order-preserving)."""
+    return latest.filter(
+        pc.or_kleene(
+            pc.is_null(latest.column('op')),
+            pc.not_equal(latest.column('op'), pa.scalar('delete')),
+        ),
+    )
+
+
 def _merge_partition_tables(tables: List[pa.Table]) -> pa.Table:
     """base ∪ deltas ∪ incoming → canonical live rows.
 
     Additive schema widening across inputs, last-writer-wins on
-    (repo, path, last_lsn), tombstones (op='delete') dropped, canonical
-    (repo, path) sort. Idempotent: re-merging already-merged rows yields
+    (repo, path, last_lsn), tombstones (op='delete') dropped. ONE sort:
+    the LWW (repo, path, last_lsn) sort already leaves the surviving
+    (unique-keyed) rows in canonical (repo, path) order, so no second
+    sort is needed. Idempotent: re-merging already-merged rows yields
     the identical table (crash-retry safety)."""
     tables = [_ensure_op(t) for t in tables]
     schema = tables[0].schema
     for t in tables[1:]:
         schema, _ = widen_schema(schema, t.schema)
     both = pa.concat_tables([align_table(t, schema) for t in tables])
-    latest = _last_writer_wins(both)
-    alive = latest.filter(
-        pc.or_kleene(
-            pc.is_null(latest.column('op')),
-            pc.not_equal(latest.column('op'), pa.scalar('delete')),
-        ),
-    )
-    return alive.sort_by([('repo', 'ascending'), ('path', 'ascending')])
+    return _drop_tombstones(_last_writer_wins(both))
 
 
 def _partition_file_paths(store: ManifestStore, pid: int, manifest) -> List[str]:
@@ -387,7 +392,50 @@ def _read_partition_tables(
 
 
 def _last_writer_wins(table: pa.Table) -> pa.Table:
-    """Sort by (repo, path, last_lsn) and keep the last row per key."""
+    """Keep the last row per (repo, path) — max last_lsn, last delivery
+    on ties — output in canonical (repo, path) order.
+
+    Fast path (the upsert's CPU hot spot — VERDICT r2 #1, per-row memory
+    traffic): EXACT integer group keys via ``dictionary_encode`` (C hash
+    tables over the Arrow string buffers — no Python objects), one
+    integer ``np.lexsort`` to find each key's winner, then a ``take`` +
+    string sort over the SURVIVORS ONLY. The full batch's payload
+    columns (content/commit/...) are never gathered or string-sorted —
+    only ~state-size rows are. Semantics are identical to the exact
+    sort-based path (differential-tested), which remains the fallback
+    for null/exotic key or lsn columns.
+    """
+    if table.num_rows == 0:
+        return table
+    n = table.num_rows
+    repo = table.column('repo').combine_chunks()
+    path = table.column('path').combine_chunks()
+    lsn = table.column('last_lsn').combine_chunks()
+    if (
+        repo.null_count or path.null_count or lsn.null_count
+        or not (pa.types.is_string(repo.type) or pa.types.is_large_string(repo.type))
+        or not (pa.types.is_string(path.type) or pa.types.is_large_string(path.type))
+        or not pa.types.is_integer(lsn.type)
+    ):
+        return _last_writer_wins_sorted(table)
+    repo_idx = pc.dictionary_encode(repo).indices.to_numpy().astype(np.int64)
+    path_idx = pc.dictionary_encode(path).indices.to_numpy().astype(np.int64)
+    if path_idx.size and path_idx.max() >= (1 << 32):  # pragma: no cover
+        return _last_writer_wins_sorted(table)
+    combined = (repo_idx << np.int64(32)) | path_idx  # exact key id
+    lsn_np = np.asarray(
+        lsn.cast(pa.int64()).to_numpy(zero_copy_only=False), dtype=np.int64,
+    )
+    order = np.lexsort((lsn_np, combined))
+    gs = combined[order]
+    run_ends = np.flatnonzero(gs[1:] != gs[:-1])
+    winners = order[np.concatenate([run_ends, [n - 1]])]
+    out = table.take(pa.array(winners, type=pa.int64()))
+    return out.sort_by([('repo', 'ascending'), ('path', 'ascending')])
+
+
+def _last_writer_wins_sorted(table: pa.Table) -> pa.Table:
+    """Exact fallback: full (repo, path, last_lsn) sort, keep last per key."""
     if table.num_rows == 0:
         return table
     table = table.sort_by([
@@ -526,9 +574,6 @@ def make_upsert_fn(lake_root: str, redrive: bool = False,
         incoming = incoming.rename_columns([
             'last_lsn' if c == 'lsn' else c for c in incoming.column_names
         ])
-        # Within-run LWW; tombstones stay (a delta's delete must mask
-        # older base/delta rows at merge-on-read time).
-        run_latest = _last_writer_wins(incoming)
 
         prev_deltas = list(prev.deltas) if prev else []
         base_exists = os.path.exists(store.data_path(pid))
@@ -540,7 +585,7 @@ def make_upsert_fn(lake_root: str, redrive: bool = False,
 
         if redrive:
             mode = 'compact'  # counts rebuilt ⇒ rewrite state too
-        elif run_latest.num_rows == 0:
+        elif incoming.num_rows == 0:
             mode = 'noop'     # counts/hwm-only manifest update
         elif not base_exists and not prev_deltas:
             mode = 'bootstrap'  # first data: run state IS the base
@@ -556,11 +601,12 @@ def make_upsert_fn(lake_root: str, redrive: bool = False,
         if mode == 'noop':
             rows = prev.rows if prev else 0
             nbytes = prev.bytes if prev else 0
-            sha = prev.sha256 if prev else _canonical_digest(run_latest)
+            sha = prev.sha256 if prev else _canonical_digest(incoming)
         elif mode == 'delta':
-            delta = run_latest.sort_by(
-                [('repo', 'ascending'), ('path', 'ascending')],
-            )
+            # Within-run LWW; tombstones stay (a delta's delete must mask
+            # older base/delta rows at merge-on-read time). The LWW sort
+            # leaves the delta in canonical (repo, path) order already.
+            delta = _last_writer_wins(incoming)
             lsns = delta.column('last_lsn')
             lo, hi = pc.min(lsns).as_py(), pc.max(lsns).as_py()
             # Deterministic per replay window: a retried/replayed window
@@ -592,7 +638,7 @@ def make_upsert_fn(lake_root: str, redrive: bool = False,
             state_tables = []
             if mode == 'compact':
                 state_tables = _read_partition_tables(store, pid, prev)
-            state_tables.append(run_latest)
+            state_tables.append(incoming)
             alive = _merge_partition_tables(state_tables)
             if alive.num_rows:
                 tmp_data = store.tmp_path(pid)

@@ -32,6 +32,7 @@ from typing import List, Optional
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 __all__ = ['hash_bucket_join']
 
@@ -40,12 +41,27 @@ _SIDE = '_cg_s'
 _BUCKET = '_cg_b'
 
 
-def _bucket_of(values: np.ndarray, num_buckets: int) -> np.ndarray:
-    """Stable bucket id per key (SipHash via pandas, fixed key)."""
-    arr = np.asarray(values, dtype=object)
-    return (
-        pd.util.hash_array(arr, categorize=False) % np.uint64(num_buckets)
-    ).astype(np.int64)
+def _bucket_of(key: pa.Array, num_buckets: int) -> np.ndarray:
+    """Stable bucket id per key (SipHash via pandas, fixed key).
+
+    Numeric keys hash on their native arrays (a nullable int64 column
+    must NOT round-trip through float64: 2.0 and 2 hash differently, so
+    the two sides of the join would land in different buckets). Null
+    keys get an arbitrary-but-deterministic bucket — they never match,
+    they only need a home. Both sides of a join must share the key TYPE
+    (int vs float keys hash differently — same contract as SQL)."""
+    if pa.types.is_integer(key.type):
+        vals = pc.fill_null(key.cast(pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.ascontiguousarray(vals), categorize=False)
+    elif pa.types.is_floating(key.type):
+        vals = pc.fill_null(key.cast(pa.float64()), 0.0) \
+            .to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.ascontiguousarray(vals), categorize=False)
+    else:
+        arr = np.asarray(key.to_numpy(zero_copy_only=False), dtype=object)
+        h = pd.util.hash_array(arr, categorize=False)
+    return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
 def hash_bucket_join(
@@ -59,9 +75,14 @@ def hash_bucket_join(
     """Join two Datasets on one key column each; returns a Dataset whose
     columns are (left columns) + (right columns minus ``right_on``).
 
-    ``how`` is 'inner' or 'left' (the shapes the engine needs).
+    ``how`` is 'inner', 'left', 'right' or 'outer'. The key column in the
+    output is ``left_on`` with USING-join semantics: rows preserved from
+    the right side only (right/outer) carry their key there instead of a
+    null. SQL null-key semantics throughout: a null key never matches,
+    but null-key rows survive unmatched on whichever side the join type
+    preserves.
     """
-    if how not in ('inner', 'left'):
+    if how not in ('inner', 'left', 'right', 'outer'):
         raise ValueError(f'unsupported join type: {how!r}')
     left_schema = left.schema()
     right_schema = right.schema()
@@ -82,9 +103,7 @@ def hash_bucket_join(
         for c in rcols:
             cols[c] = pa.nulls(n, type=r_types[c])
         cols[_SIDE] = pa.array(np.zeros(n, dtype=np.int8))
-        cols[_BUCKET] = pa.array(_bucket_of(
-            key.to_numpy(zero_copy_only=False), num_buckets,
-        ))
+        cols[_BUCKET] = pa.array(_bucket_of(key, num_buckets))
         return pa.table(cols)
 
     def tag_right(batch: pa.Table) -> pa.Table:
@@ -96,9 +115,7 @@ def hash_bucket_join(
         for c in rcols:
             cols[c] = batch.column(c)
         cols[_SIDE] = pa.array(np.ones(n, dtype=np.int8))
-        cols[_BUCKET] = pa.array(_bucket_of(
-            key.to_numpy(zero_copy_only=False), num_buckets,
-        ))
+        cols[_BUCKET] = pa.array(_bucket_of(key, num_buckets))
         return pa.table(cols)
 
     tagged = left.map_batches(tag_left, batch_format='pyarrow').union(
@@ -110,12 +127,28 @@ def hash_bucket_join(
     def merge_bucket(group: pd.DataFrame) -> pa.Table:
         # Disjoint non-key columns (checked above) ⇒ no suffixing needed.
         # SQL null semantics: a null key matches nothing (pandas merge
-        # would match NaN==NaN) — null-key right rows never join; null-key
-        # left rows drop under 'inner' and survive unmatched under 'left'.
+        # would match NaN==NaN) — null-key rows are excluded from the
+        # merge and re-appended unmatched on the side the join preserves.
         notna = group[_KEY].notna()
-        ldf = group[(group[_SIDE] == 0) & (notna if how == 'inner' else True)][[_KEY] + lcols]
-        rdf = group[(group[_SIDE] == 1) & notna][[_KEY] + rcols]
+        lmask = group[_SIDE] == 0
+        ldf = group[lmask & notna][[_KEY] + lcols]
+        rdf = group[~lmask & notna][[_KEY] + rcols]
         merged = ldf.merge(rdf, on=_KEY, how=how)
+        extras = []
+        if how in ('left', 'outer'):
+            extras.append(group[lmask & ~notna][[_KEY] + lcols])
+        if how in ('right', 'outer'):
+            extras.append(group[~lmask & ~notna][[_KEY] + rcols])
+        if extras:
+            merged = pd.concat(
+                [merged] + [e.reindex(columns=merged.columns) for e in extras],
+                ignore_index=True,
+            )
+        if how in ('right', 'outer'):
+            # USING-join key: right-only rows carry their key in left_on.
+            merged[left_on] = merged[left_on].where(
+                merged[left_on].notna(), merged[_KEY],
+            )
         # The union's null padding floats int columns in pandas — rebuild
         # each column at its original Arrow type (NaN → null).
         arrays = {}

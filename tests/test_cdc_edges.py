@@ -91,3 +91,43 @@ def test_dedup_by_lsn_exact_above_2_53():
     out = _dedup_by_lsn(t)
     # keeps: first base, base+1 (distinct!), both nulls, 7; drops dup base
     assert out.column('v').to_pylist() == [0, 1, 2, 4, 5]
+
+
+def test_lww_fast_path_matches_sorted_path():
+    """The dictionary-encode/lexsort LWW must equal the exact sort-based
+    path row-for-row — incl. duplicate (key, lsn) deliveries (last input
+    occurrence wins), deletes, single-key and empty tables."""
+    import numpy as np
+
+    from filters_ray.pipelines.cdc import (
+        _last_writer_wins,
+        _last_writer_wins_sorted,
+    )
+
+    rng = np.random.RandomState(11)
+    for trial in range(20):
+        n = int(rng.randint(1, 400))
+        repos = rng.choice(['r1', 'r2', 'répo-3', ''], size=n)
+        paths = rng.choice([f'p{i}' for i in range(max(2, n // 8))], size=n)
+        lsns = rng.randint(0, max(2, n // 2), size=n)  # many lsn ties
+        ops = rng.choice(['update', 'delete', 'insert'], size=n)
+        t = pa.table({
+            'repo': pa.array(repos.tolist()),
+            'path': pa.array(paths.tolist()),
+            'last_lsn': pa.array(lsns.tolist(), type=pa.int64()),
+            'op': pa.array(ops.tolist()),
+            'content': pa.array([f'c{i}' for i in range(n)]),  # row identity
+        })
+        fast = _last_writer_wins(t)
+        exact = _last_writer_wins_sorted(t).sort_by(
+            [('repo', 'ascending'), ('path', 'ascending')],
+        )
+        assert fast.to_pydict() == exact.to_pydict(), f'trial {trial}'
+
+    empty = pa.table({
+        'repo': pa.array([], type=pa.string()),
+        'path': pa.array([], type=pa.string()),
+        'last_lsn': pa.array([], type=pa.int64()),
+        'op': pa.array([], type=pa.string()),
+    })
+    assert _last_writer_wins(empty).num_rows == 0

@@ -63,7 +63,7 @@ def test_join_rejects_unknown_how():
 
     ds = rd.from_arrow(pa.table({'k': [1]}))
     with pytest.raises(ValueError, match='join type'):
-        hash_bucket_join(ds, ds, 'k', 'k', how='outer')
+        hash_bucket_join(ds, ds, 'k', 'k', how='cross')
 
 
 @pytest.mark.usefixtures('ray_session')
@@ -121,3 +121,44 @@ def test_null_keys_never_match():
         ).take_all()
     )
     assert left_rows == [(10, None), (11, None), (20, 'b')]
+
+
+@pytest.mark.usefixtures('ray_session')
+def test_right_join():
+    import ray.data as rd
+
+    left = rd.from_arrow(pa.table({'k': [1, 2], 'x': [10, 20]}))
+    right = rd.from_arrow(pa.table({'kk': [2, 3, None], 'y': ['b', 'c', 'n']}))
+    rows = sorted(
+        [
+            (r['k'], r['x'], r['y'])
+            for r in hash_bucket_join(
+                left, right, 'k', 'kk', num_buckets=4, how='right',
+            ).take_all()
+        ],
+        key=repr,
+    )
+    # Unmatched right rows keep their key in the left_on column (USING
+    # semantics); null-key right rows survive unmatched.
+    assert rows == sorted([(2, 20, 'b'), (3, None, 'c'), (None, None, 'n')], key=repr)
+
+
+@pytest.mark.usefixtures('ray_session')
+def test_outer_join():
+    import ray.data as rd
+
+    left = rd.from_arrow(pa.table({'k': [1, 2, None], 'x': [10, 20, 30]}))
+    right = rd.from_arrow(pa.table({'kk': [2, 3], 'y': ['b', 'c']}))
+    rows = sorted(
+        [
+            (r['k'], r['x'], r['y'])
+            for r in hash_bucket_join(
+                left, right, 'k', 'kk', num_buckets=4, how='outer',
+            ).take_all()
+        ],
+        key=repr,
+    )
+    assert rows == sorted(
+        [(1, 10, None), (2, 20, 'b'), (3, None, 'c'), (None, 30, None)],
+        key=repr,
+    )
