@@ -248,6 +248,115 @@ GROUP BY c_nationkey
 """
 
 
+def customers_without_orders(sf_dir: str):
+    """ANTI join (NOT EXISTS): customers with no high-value order
+    (totalprice > 400k), aggregated per nation. The predicate is pushed
+    BEFORE the join and the right side ships only deduped ``o_custkey``
+    values through the shuffle (hash_bucket_join existence mode), so at
+    100 TB the exchange carries one filtered key column, not the orders
+    table."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.cogroup import hash_bucket_join
+
+    cust = _read(sf_dir, 'customer', columns=[
+        'c_custkey', 'c_nationkey', 'c_acctbal',
+    ])
+    orders = _read(sf_dir, 'orders', columns=['o_custkey', 'o_totalprice'])
+
+    def big_orders(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(batch.column('o_totalprice'), pa.scalar(400_000.0))
+        return batch.filter(keep).select(['o_custkey'])
+
+    orders = orders.map_batches(big_orders, batch_format='pyarrow')
+    unmatched = hash_bucket_join(
+        cust, orders, left_on='c_custkey', right_on='o_custkey',
+        num_buckets=32, how='anti',
+    )
+    out = unmatched.groupby('c_nationkey').aggregate(
+        Count(alias_name='n_customers'),
+        Sum('c_acctbal', alias_name='total_acctbal'),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            'c_nationkey': batch.column('c_nationkey'),
+            'n_customers': batch.column('n_customers'),
+            'total_acctbal': _round4(batch.column('total_acctbal')),
+        })
+
+    return out.map_batches(finish, batch_format='pyarrow')
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_nationkey, count(*) AS n_customers,
+       round(sum(c_acctbal), 4) AS total_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+GROUP BY c_nationkey
+"""
+
+
+def parts_with_lineitems(sf_dir: str):
+    """SEMI join (EXISTS): parts with at least one full-quantity
+    lineitem (l_quantity > 49), counted per brand — no row duplication
+    from multiple matches; predicate pushed before the join."""
+    from ray.data.aggregate import Count
+
+    from ..stages.cogroup import hash_bucket_join
+
+    part = _read(sf_dir, 'part', columns=['p_partkey', 'p_brand'])
+    items = _read(sf_dir, 'lineitem', columns=['l_partkey', 'l_quantity'])
+
+    def full_qty(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(batch.column('l_quantity'), pa.scalar(49.0))
+        return batch.filter(keep).select(['l_partkey'])
+
+    items = items.map_batches(full_qty, batch_format='pyarrow')
+    matched = hash_bucket_join(
+        part, items, left_on='p_partkey', right_on='l_partkey',
+        num_buckets=32, how='semi',
+    )
+    return matched.groupby('p_brand').aggregate(Count(alias_name='n_parts'))
+
+
+PARTS_WITH_LINEITEMS_SQL = """
+SELECT p_brand, count(*) AS n_parts
+FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_partkey = p_partkey AND l_quantity > 49)
+GROUP BY p_brand
+"""
+
+
+def top3_orders_per_priority(sf_dir: str):
+    """Grouped top-k (per-key window rank, ROW_NUMBER <= k): top 3
+    orders by total price within each order priority. Uses the generic
+    stages/topk.grouped_top_k two-level shape — per-block partial
+    grouped top-k, then one hash-bucket shuffle over ≤ k × keys ×
+    blocks candidate rows; no global sort, no per-distinct-key task."""
+    from ..stages.topk import grouped_top_k
+
+    orders = _read(sf_dir, 'orders', columns=[
+        'o_orderpriority', 'o_orderkey', 'o_totalprice',
+    ])
+    return grouped_top_k(
+        orders, key='o_orderpriority', value='o_totalprice', k=3,
+        tie_by=['o_orderkey'], num_buckets=8,
+    )
+
+
+TOP3_PER_PRIORITY_SQL = """
+SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3
+"""
+
+
 def top10_orders_by_revenue(sf_dir: str):
     """Grouped revenue + global top-k with deterministic tie-break."""
     ds = _read(sf_dir, 'lineitem', columns=[
@@ -904,6 +1013,60 @@ FROM documents
 """
 
 
+def docs_top_tokens(sf_dir: str):
+    """Explode/unnest: split each document into tokens (list column),
+    flatten, count per token, global top-20. Per-batch value_counts is
+    the partial aggregate — the shuffle carries (token, n) partials, not
+    one row per token occurrence; per-block top-k avoids a global sort."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, 'documents', columns=['text'])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tokens = pc.list_flatten(
+            pc.split_pattern_regex(batch.column('text'), r'\s+'),
+        )
+        tokens = tokens.filter(pc.not_equal(tokens, ''))
+        vc = tokens.value_counts()
+        return pa.table({
+            'token': vc.field('values'),
+            'n': vc.field('counts'),
+        })
+
+    grouped = (
+        ds.map_batches(partial, batch_format='pyarrow')
+        .groupby('token')
+        .aggregate(Sum('n', alias_name='n'))
+    )
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= 20:
+            return batch
+        df = batch.to_pandas().sort_values(
+            ['n', 'token'], ascending=[False, True]).head(20)
+        return pa.table({
+            'token': pa.array(df['token'].values, type=pa.string()),
+            'n': pa.array(df['n'].values, type=pa.int64()),
+        })
+
+    candidates = grouped.map_batches(block_topk, batch_format='pyarrow').take_all()
+    df = pd.DataFrame(candidates).sort_values(
+        ['n', 'token'], ascending=[False, True],
+    ).head(20)
+    return df.reset_index(drop=True)
+
+
+DOCS_TOP_TOKENS_SQL = r"""
+SELECT token, count(*) AS n FROM (
+  SELECT unnest(regexp_split_to_array(text, '\s+')) AS token
+  FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 20
+"""
+
+
 def dedup_exact_docs(sf_dir: str):
     """Exact dedup on raw text, keeping the min doc_id per distinct text."""
     ds = _read(sf_dir, 'documents', columns=['doc_id', 'text'])
@@ -1530,6 +1693,13 @@ QUERIES = {
     'orders_customer_shuffle_join': (
         orders_customer_shuffle_join, ORDERS_CUSTOMER_JOIN_SQL,
     ),
+    'customers_without_orders': (
+        customers_without_orders, CUSTOMERS_WITHOUT_ORDERS_SQL,
+    ),
+    'parts_with_lineitems': (parts_with_lineitems, PARTS_WITH_LINEITEMS_SQL),
+    'top3_orders_per_priority': (
+        top3_orders_per_priority, TOP3_PER_PRIORITY_SQL,
+    ),
     'orders_status_counts': (orders_status_counts, ORDERS_STATUS_SQL),
     'parts_by_brand_stats': (parts_by_brand_stats, PARTS_BY_BRAND_SQL),
     'lineitem_monthly_shipments': (lineitem_monthly_shipments, LINEITEM_MONTHLY_SQL),
@@ -1546,6 +1716,7 @@ QUERIES = {
     'docs_reject_counts': (docs_reject_counts, DOCS_REJECT_SQL),
     'docs_lang_counts': (docs_lang_counts, DOCS_LANG_SQL),
     'docs_token_stats': (docs_token_stats, DOCS_TOKENS_SQL),
+    'docs_top_tokens': (docs_top_tokens, DOCS_TOP_TOKENS_SQL),
     'dedup_exact_docs': (dedup_exact_docs, DEDUP_EXACT_SQL),
     'knn_top10': (knn_top10, KNN_SQL),
     'embeddings_label_centroids': (embeddings_label_centroids, EMB_LABEL_SQL),

@@ -1,5 +1,7 @@
 """Ray Data batch stages."""
 
+from .cogroup import hash_bucket_join
+from .topk import grouped_top_k
 from .validate import (
     ERRORS_COLUMN,
     ORIGINAL_COLUMN,
@@ -11,6 +13,8 @@ from .validate import (
 
 __all__ = [
     'ERRORS_COLUMN',
+    'grouped_top_k',
+    'hash_bucket_join',
     'ORIGINAL_COLUMN',
     'RecordValidator',
     'ValidateStage',

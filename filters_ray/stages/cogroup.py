@@ -75,19 +75,28 @@ def hash_bucket_join(
     """Join two Datasets on one key column each; returns a Dataset whose
     columns are (left columns) + (right columns minus ``right_on``).
 
-    ``how`` is 'inner', 'left', 'right' or 'outer'. The key column in the
-    output is ``left_on`` with USING-join semantics: rows preserved from
-    the right side only (right/outer) carry their key there instead of a
-    null. SQL null-key semantics throughout: a null key never matches,
-    but null-key rows survive unmatched on whichever side the join type
-    preserves.
+    ``how`` is 'inner', 'left', 'right', 'outer', 'semi' or 'anti'. The
+    key column in the output is ``left_on`` with USING-join semantics:
+    rows preserved from the right side only (right/outer) carry their key
+    there instead of a null. SQL null-key semantics throughout: a null
+    key never matches, but null-key rows survive unmatched on whichever
+    side the join type preserves.
+
+    'semi' / 'anti' return LEFT columns only — left rows with (without) a
+    right-side match, never duplicated by multiple matches (SQL
+    EXISTS / NOT EXISTS). A null left key matches nothing, so it is
+    dropped by semi and kept by anti. The right side ships only its key
+    column through the shuffle (the payload columns never leave their
+    node), so a huge right side costs one key column, not a row copy.
     """
-    if how not in ('inner', 'left', 'right', 'outer'):
+    if how not in ('inner', 'left', 'right', 'outer', 'semi', 'anti'):
         raise ValueError(f'unsupported join type: {how!r}')
+    existence_only = how in ('semi', 'anti')
     left_schema = left.schema()
     right_schema = right.schema()
     lcols: List[str] = list(left_schema.names)
-    rcols: List[str] = [c for c in right_schema.names if c != right_on]
+    rcols: List[str] = [] if existence_only else [
+        c for c in right_schema.names if c != right_on]
     overlap = (set(lcols) & set(rcols)) - {left_on}
     if overlap:
         raise ValueError(f'column names collide across join sides: {overlap}')
@@ -108,7 +117,11 @@ def hash_bucket_join(
 
     def tag_right(batch: pa.Table) -> pa.Table:
         key = batch.column(right_on).combine_chunks()
-        n = batch.num_rows
+        if existence_only:
+            # Only existence matters: per-batch key dedup shrinks the
+            # shuffle payload before it leaves the producing task.
+            key = pc.unique(key.drop_null())
+        n = len(key)
         cols = {_KEY: key}
         for c in lcols:
             cols[c] = pa.nulls(n, type=l_types[c])
@@ -131,6 +144,19 @@ def hash_bucket_join(
         # merge and re-appended unmatched on the side the join preserves.
         notna = group[_KEY].notna()
         lmask = group[_SIDE] == 0
+        if existence_only:
+            rkeys = group.loc[~lmask & notna, _KEY].unique()
+            matched = notna & group[_KEY].isin(rkeys)
+            keep = lmask & (matched if how == 'semi' else ~matched)
+            kept = group[keep]
+            arrays = {}
+            for c in lcols:
+                try:
+                    arrays[c] = pa.array(
+                        kept[c].values, type=l_types[c], from_pandas=True)
+                except (pa.ArrowInvalid, pa.ArrowTypeError):
+                    arrays[c] = pa.Array.from_pandas(kept[c])
+            return pa.table(arrays)
         ldf = group[lmask & notna][[_KEY] + lcols]
         rdf = group[~lmask & notna][[_KEY] + rcols]
         merged = ldf.merge(rdf, on=_KEY, how=how)

@@ -144,6 +144,73 @@ def test_right_join():
 
 
 @pytest.mark.usefixtures('ray_session')
+def test_semi_and_anti_join():
+    """EXISTS / NOT EXISTS semantics: left columns only, no duplication
+    from multiple right matches; null left keys match nothing (dropped by
+    semi, kept by anti)."""
+    import ray.data as rd
+
+    left = rd.from_arrow(pa.table({
+        'k': [1, 2, 2, 3, None], 'x': [10, 20, 21, 30, 40],
+    }))
+    right = rd.from_arrow(pa.table({
+        'kk': [2, 2, 5, None], 'y': ['b', 'b2', 'e', 'n'],
+    }))
+
+    semi = sorted(
+        (r['k'], r['x'])
+        for r in hash_bucket_join(
+            left, right, 'k', 'kk', num_buckets=4, how='semi',
+        ).take_all()
+    )
+    assert semi == [(2, 20), (2, 21)]
+
+    anti = sorted(
+        [
+            (r['k'], r['x'])
+            for r in hash_bucket_join(
+                left, right, 'k', 'kk', num_buckets=4, how='anti',
+            ).take_all()
+        ],
+        key=repr,
+    )
+    assert anti == sorted([(1, 10), (3, 30), (None, 40)], key=repr)
+
+    j = hash_bucket_join(left, right, 'k', 'kk', num_buckets=4, how='semi')
+    assert set(j.schema().names) == {'k', 'x'}
+
+
+@pytest.mark.usefixtures('ray_session')
+def test_semi_anti_match_pandas_randomized():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    rng = np.random.RandomState(123)
+    left = pd.DataFrame({
+        'k': rng.randint(0, 50, size=400),
+        'x': rng.randint(0, 1000, size=400),
+    })
+    right = pd.DataFrame({'kk': rng.randint(0, 50, size=60)})
+    lds = rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False))
+    rds = rd.from_arrow(pa.Table.from_pandas(right, preserve_index=False))
+    rkeys = set(right['kk'])
+
+    for how, expect_mask in (
+        ('semi', left['k'].isin(rkeys)),
+        ('anti', ~left['k'].isin(rkeys)),
+    ):
+        got = sorted(
+            (r['k'], r['x'])
+            for r in hash_bucket_join(
+                lds, rds, 'k', 'kk', num_buckets=8, how=how,
+            ).take_all()
+        )
+        exp = sorted(zip(left[expect_mask]['k'], left[expect_mask]['x']))
+        assert got == exp, how
+
+
+@pytest.mark.usefixtures('ray_session')
 def test_outer_join():
     import ray.data as rd
 
