@@ -2,6 +2,7 @@
 multimodal plumbing, corpus prep, and the query/oracle surface."""
 
 from ..stages.cogroup import hash_bucket_join
+from ..stages.topk import grouped_top_k
 from .cdc import CDCPipeline, RunReport, cdc_validator_spec, key_partition
 from .codecs import decode_bmp, decode_ppm, decode_wav, sniff_format
 from .corpus import prepare_corpus
@@ -28,6 +29,7 @@ __all__ = [
     'decode_bmp',
     'decode_ppm',
     'decode_wav',
+    'grouped_top_k',
     'hash_bucket_join',
     'minhash_candidates',
     'sniff_format',

@@ -420,7 +420,9 @@ def _last_writer_wins(table: pa.Table) -> pa.Table:
         return _last_writer_wins_sorted(table)
     repo_idx = pc.dictionary_encode(repo).indices.to_numpy().astype(np.int64)
     path_idx = pc.dictionary_encode(path).indices.to_numpy().astype(np.int64)
-    if path_idx.size and path_idx.max() >= (1 << 32):  # pragma: no cover
+    if path_idx.size and (
+        path_idx.max() >= (1 << 32) or repo_idx.max() >= (1 << 31)
+    ):  # pragma: no cover — >4B distinct paths / >2B repos in ONE group
         return _last_writer_wins_sorted(table)
     combined = (repo_idx << np.int64(32)) | path_idx  # exact key id
     lsn_np = np.asarray(

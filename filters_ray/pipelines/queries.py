@@ -157,42 +157,58 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def orders_by_nation(sf_dir: str):
-    """Broadcast hash join: customer(+nation names) broadcast into orders.
+    """Broadcast hash join + per-batch partial aggregation.
 
-    The small side is collected once and shipped via ray.put; the big
-    side streams — no shuffle join.
+    The small side (customer→nation) is broadcast once via ``ray.put``
+    as a DENSE int LUT (``lut[custkey] -> nationkey``: one numpy gather
+    per batch, no Python dict hashing), each batch pre-aggregates to
+    ≤25 partial rows with ``np.bincount``, and only those partials
+    shuffle — the exchange carries 25 × batches rows instead of every
+    order (the round-3 fix for the reproducible r2 band shift; q1's
+    partial pattern applied here).
     """
     import ray
 
     cust = _read(sf_dir, 'customer', columns=['c_custkey', 'c_nationkey']).to_pandas()
     nation = _read(sf_dir, 'nation', columns=['n_nationkey', 'n_name']).to_pandas()
-    cust = cust.merge(nation, left_on='c_nationkey', right_on='n_nationkey')
-    lookup_ref = ray.put(dict(zip(cust['c_custkey'], cust['n_name'])))
+    n_nations = int(nation['n_nationkey'].max()) + 1
+    lut = np.full(int(cust['c_custkey'].max()) + 1, -1, dtype=np.int32)
+    lut[cust['c_custkey'].to_numpy()] = cust['c_nationkey'].to_numpy()
+    lut_ref = ray.put(lut)
 
     orders = _read(sf_dir, 'orders', columns=['o_custkey', 'o_totalprice'])
 
-    def tag(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        keys = pd.Series(
-            batch.column('o_custkey').combine_chunks()
-            .to_numpy(zero_copy_only=False),
-        )
-        names = keys.map(lookup)  # vectorized dict lookup (VERDICT r1 #5)
-        return batch.append_column(
-            'n_name', pa.array(names, type=pa.string(), from_pandas=True),
+    def partial(batch: pa.Table) -> pa.Table:
+        table = ray.get(lut_ref)
+        keys = batch.column('o_custkey').combine_chunks().to_numpy()
+        nk = table[keys]
+        price = batch.column('o_totalprice').combine_chunks().to_numpy()
+        valid = nk >= 0           # inner-join semantics: unmatched drop
+        if not valid.all():
+            nk, price = nk[valid], price[valid]
+        counts = np.bincount(nk, minlength=n_nations)
+        sums = np.bincount(nk, weights=price, minlength=n_nations)
+        present = np.flatnonzero(counts)
+        return pa.table({
+            'n_nationkey': pa.array(present.astype(np.int64)),
+            'n_orders': pa.array(counts[present].astype(np.int64)),
+            'total_price': pa.array(sums[present]),
+        })
+
+    from ray.data.aggregate import Sum
+
+    out = orders.map_batches(partial, batch_format='pyarrow') \
+        .groupby('n_nationkey').aggregate(
+            Sum('n_orders', alias_name='n_orders'),
+            Sum('total_price', alias_name='total_price'),
         )
 
-    from ray.data.aggregate import Count, Sum
-
-    tagged = orders.map_batches(tag, batch_format='pyarrow')
-    out = tagged.groupby('n_name').aggregate(
-        Count(alias_name='n_orders'),
-        Sum('o_totalprice', alias_name='total_price'),
-    )
+    names = dict(zip(nation['n_nationkey'], nation['n_name']))
 
     def finish(batch: pa.Table) -> pa.Table:
+        keys = batch.column('n_nationkey').to_pylist()   # ≤25 rows
         return pa.table({
-            'n_name': batch.column('n_name'),
+            'n_name': pa.array([names[k] for k in keys], type=pa.string()),
             'n_orders': batch.column('n_orders'),
             'total_price': _round4(batch.column('total_price')),
         })
@@ -363,39 +379,45 @@ def top10_orders_by_revenue(sf_dir: str):
         'l_orderkey', 'l_extendedprice', 'l_discount',
     ])
 
+    nb = _bucket_count(_parquet_rows(sf_dir, 'lineitem'))
+
     def revenue(batch: pa.Table) -> pa.Table:
         rev = pc.multiply(
             batch.column('l_extendedprice'),
             pc.subtract(pa.scalar(1.0), batch.column('l_discount')),
         )
+        keys = batch.column('l_orderkey').combine_chunks().to_numpy()
+        h = pd.util.hash_array(np.ascontiguousarray(keys), categorize=False)
         return pa.table({
             'l_orderkey': batch.column('l_orderkey'),
             'revenue': rev,
+            '_b': pa.array((h % np.uint64(nb)).astype(np.int64)),
         })
 
-    from ray.data.aggregate import Sum
+    # No per-batch partial sum: ~150k distinct orderkeys per 600k rows
+    # means partials shrink the shuffle by only ~4x while adding a pandas
+    # groupby per batch — measured net-negative (unlike Q1's 6-group
+    # case). Instead ONE hash-bucket exchange whose reduce does the
+    # grouped sum AND the per-bucket top-10 in the same pandas task —
+    # no sample-sort boundary pass, no sort-merge reduce, and the only
+    # post-shuffle output is 10 × num_buckets candidate rows. Orderkeys
+    # are disjoint across buckets, so per-bucket top-10 is exact.
+    def bucket_sum_topk(group: pd.DataFrame) -> pa.Table:
+        sums = group.groupby('l_orderkey', sort=False)['revenue'].sum()
+        top = sums.reset_index().sort_values(
+            ['revenue', 'l_orderkey'], ascending=[False, True],
+        ).head(10)
+        return pa.table({
+            'l_orderkey': pa.array(top['l_orderkey'].values, type=pa.int64()),
+            'revenue': pa.array(top['revenue'].values, type=pa.float64()),
+        })
 
-    # No per-batch partial aggregation here: ~150k distinct orderkeys per
-    # 600k rows means partials shrink the shuffle by only ~4x while adding
-    # a pandas groupby per batch — measured net-negative (unlike Q1's
-    # 6-group case, where partials collapse the shuffle to nothing).
-    grouped = (
+    candidates = (
         ds.map_batches(revenue, batch_format='pyarrow')
-        .groupby('l_orderkey')
-        .aggregate(Sum('revenue', alias_name='revenue'))
+        .groupby('_b')
+        .map_groups(bucket_sum_topk, batch_format='pandas')
+        .take_all()
     )
-
-    # Distributed top-k: each block keeps its own top 10, the driver
-    # merges k × num_blocks candidate rows — no global sort shuffle
-    # (the previous `sort().limit(10)` moved every grouped row).
-    def block_topk(batch: pa.Table) -> pa.Table:
-        if batch.num_rows <= 10:
-            return batch
-        rev = batch.column('revenue').to_numpy(zero_copy_only=False)
-        idx = np.argpartition(-rev, 9)[:10]
-        return batch.take(pa.array(np.sort(idx)))
-
-    candidates = grouped.map_batches(block_topk, batch_format='pyarrow').take_all()
     df = pd.DataFrame(candidates).sort_values(
         ['revenue', 'l_orderkey'], ascending=[False, True],
     ).head(10)

@@ -63,6 +63,27 @@ def test_grouped_topk_matches_pandas_randomized():
 
 
 @pytest.mark.usefixtures('ray_session')
+def test_grouped_topk_null_keys_form_their_own_group():
+    import ray.data as rd
+
+    t = pa.table({
+        'g': ['a', None, 'a', None, None],
+        'v': [1, 5, 2, 3, 4],
+        'id': [1, 2, 3, 4, 5],
+    })
+    out = grouped_top_k(
+        rd.from_arrow(t), key='g', value='v', k=2, tie_by=['id'],
+        num_buckets=4,
+    )
+    rows = sorted(
+        [(r['g'], r['v']) for r in out.take_all()], key=repr,
+    )
+    assert rows == sorted(
+        [('a', 1), ('a', 2), (None, 5), (None, 4)], key=repr,
+    )
+
+
+@pytest.mark.usefixtures('ray_session')
 def test_grouped_topk_ascending_and_string_keys():
     import ray.data as rd
 
