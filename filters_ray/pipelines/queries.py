@@ -1702,6 +1702,215 @@ FROM range(64) t(i)
 """
 
 
+def orders_price_band_stats(sf_dir: str):
+    """Non-equi INTERVAL (range) join: each order matched to the price
+    band covering its ``o_totalprice``, then aggregated per band.
+
+    Exercises ``stages.rangejoin.interval_join`` — broadcast interval
+    table + per-batch ``np.searchsorted``, no shuffle of the big side;
+    the only exchange is the ≤4-row per-batch partial aggregate."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.rangejoin import interval_join
+
+    bands = pa.table({
+        'band': pa.array(['b0_lt60k', 'b1_60_150k', 'b2_150_300k',
+                          'b3_ge300k']),
+        'lo': pa.array([0.0, 60000.0, 150000.0, 300000.0]),
+        'hi': pa.array([60000.0, 150000.0, 300000.0, 1e12]),
+    })
+    orders = _read(sf_dir, 'orders', columns=['o_totalprice'])
+    joined = interval_join(orders, bands, on='o_totalprice')
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bcol = batch.column('band')
+        price = batch.column('o_totalprice').combine_chunks().to_numpy()
+        enc = bcol.combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        labels = enc.dictionary
+        counts = np.bincount(codes, minlength=len(labels))
+        sums = np.bincount(codes, weights=price, minlength=len(labels))
+        return pa.table({
+            'band': labels,
+            'n_orders': pa.array(counts.astype(np.int64)),
+            'total_price': pa.array(sums),
+        })
+
+    out = joined.map_batches(partial, batch_format='pyarrow') \
+        .groupby('band').aggregate(
+            Sum('n_orders', alias_name='n_orders'),
+            Sum('total_price', alias_name='total_price'),
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            'band': batch.column('band'),
+            'n_orders': batch.column('n_orders'),
+            'total_price': _round4(batch.column('total_price')),
+        })
+
+    return out.map_batches(finish, batch_format='pyarrow')
+
+
+ORDERS_PRICE_BAND_SQL = """
+SELECT b.band, count(*) AS n_orders,
+       round(sum(o.o_totalprice), 4) AS total_price
+FROM orders o
+JOIN (VALUES ('b0_lt60k',       0.0,   60000.0),
+             ('b1_60_150k',  60000.0, 150000.0),
+             ('b2_150_300k', 150000.0, 300000.0),
+             ('b3_ge300k',   300000.0, 1e12)) AS b(band, lo, hi)
+  ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY b.band
+"""
+
+
+def events_value_delta(sf_dir: str):
+    """LAG window function: per user, ``value - lag(value)`` ordered by
+    ``(ts, event_id)`` — the remaining rows-based window shape (the
+    sliding mean covers frame aggregates; this covers offset access).
+    Bucketed like the as-of join: one shuffle, vectorized diff."""
+    ds = _read(sf_dir, 'events', columns=['event_id', 'user_id', 'ts', 'value'])
+
+    def delta(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(['user_id', 'ts', 'event_id']).reset_index(drop=True)
+        d = g.groupby('user_id', sort=False)['value'].diff()
+        return pa.table({
+            'event_id': pa.array(g['event_id'].values),
+            'user_id': pa.array(g['user_id'].values),
+            # from_pandas=True: the leading NaN per user becomes a real
+            # null, matching SQL's lag() on the first row.
+            'delta': pa.array(np.round(d.values, 4), from_pandas=True),
+        })
+
+    nb = _bucket_count(_parquet_rows(sf_dir, 'events'))
+    return _bucket_by_user(ds, nb).groupby('_b').map_groups(
+        delta, batch_format='pandas',
+    )
+
+
+EVENTS_DELTA_SQL = """
+SELECT event_id, user_id,
+       round(value - lag(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id), 4) AS delta
+FROM events
+"""
+
+
+def lineitem_quantity_quantiles(sf_dir: str):
+    """Grouped EXACT median + p90 via a distributed counting histogram.
+
+    The scale-right quantile plan for low-cardinality value domains:
+    per-batch ``(group, value) -> count`` partials (bounded by domain
+    size, not rows), one tiny groupby-sum, then the driver interpolates
+    percentile_cont positions over ≤ groups×values rows.  No sort, no
+    per-row shuffle — contrast a sort-based percentile whose all-to-all
+    moves every row."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, 'lineitem', columns=['l_returnflag', 'l_quantity'])
+
+    def counts(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(['l_returnflag', 'l_quantity'], sort=False) \
+            .size().reset_index(name='n')
+        return _from_pandas(g)
+
+    hist = ds.map_batches(counts, batch_format='pandas') \
+        .groupby(['l_returnflag', 'l_quantity']) \
+        .aggregate(Sum('n', alias_name='n')) \
+        .to_pandas()          # ≤ |flags| × |distinct quantities| rows
+
+    def percentile(vals: np.ndarray, cnts: np.ndarray, q: float) -> float:
+        # percentile_cont: linear interpolation at pos q*(N-1) of the
+        # value-expanded sorted array, walked via cumulative counts.
+        order = np.argsort(vals)
+        vals, cnts = vals[order], cnts[order]
+        cum = np.cumsum(cnts)
+        pos = q * (cum[-1] - 1)
+        lo_i = int(np.searchsorted(cum, np.floor(pos) + 1))
+        hi_i = int(np.searchsorted(cum, np.ceil(pos) + 1))
+        frac = pos - np.floor(pos)
+        return float(vals[lo_i] * (1 - frac) + vals[hi_i] * frac)
+
+    rows = []
+    for flag, g in hist.groupby('l_returnflag'):
+        v = g['l_quantity'].to_numpy()
+        c = g['n'].to_numpy()
+        rows.append({
+            'l_returnflag': flag,
+            'median_qty': round(percentile(v, c, 0.5), 4),
+            'p90_qty': round(percentile(v, c, 0.9), 4),
+        })
+    return pd.DataFrame(rows)
+
+
+LINEITEM_QUANTILES_SQL = """
+SELECT l_returnflag,
+       round(median(l_quantity), 4) AS median_qty,
+       round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def lineitem_rollup_counts(sf_dir: str):
+    """GROUP BY ROLLUP(returnflag, linestatus): finest level aggregated
+    distributed (partial per batch → ≤6-group shuffle), subtotal and
+    grand-total levels derived from the finest aggregate driver-side —
+    re-aggregating counts/sums needs no second pass over the data.
+    Subtotal rows use the 'ALL' sentinel (COALESCE'd on the SQL side)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, 'lineitem', columns=[
+        'l_returnflag', 'l_linestatus', 'l_quantity',
+    ])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(['l_returnflag', 'l_linestatus'], sort=False).agg(
+            n=('l_quantity', 'size'), sum_qty=('l_quantity', 'sum'),
+        ).reset_index()
+        return _from_pandas(g)
+
+    finest = ds.map_batches(partial, batch_format='pandas') \
+        .groupby(['l_returnflag', 'l_linestatus']).aggregate(
+            Sum('n', alias_name='n'), Sum('sum_qty', alias_name='sum_qty'),
+        ).to_pandas()
+
+    by_flag = finest.groupby('l_returnflag', as_index=False).agg(
+        {'n': 'sum', 'sum_qty': 'sum'})
+    by_flag['l_linestatus'] = 'ALL'
+    total = pd.DataFrame([{
+        'l_returnflag': 'ALL', 'l_linestatus': 'ALL',
+        'n': finest['n'].sum(), 'sum_qty': finest['sum_qty'].sum(),
+    }])
+    out = pd.concat([finest, by_flag, total], ignore_index=True)
+    out['sum_qty'] = np.round(out['sum_qty'].to_numpy(), 4)
+    return out[['l_returnflag', 'l_linestatus', 'n', 'sum_qty']]
+
+
+LINEITEM_ROLLUP_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       count(l_quantity) AS n,
+       round(sum(l_quantity), 4) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def events_hll_users(sf_dir: str):
+    """Approximate COUNT(DISTINCT user_id) via the HyperLogLog sketch
+    stage (stages/sketch.py) — only 16 KiB per block reaches the
+    reduction.  No SQL oracle (the estimate is approximate by design);
+    accuracy vs exact is pytest-asserted (<2% at p=14) and the value is
+    deterministic for the driver's rows-only check."""
+    from ..stages.sketch import approx_distinct
+
+    ds = _read(sf_dir, 'events', columns=['user_id'])
+    est = approx_distinct(ds, 'user_id', p=14)
+    return pd.DataFrame({'n_users_hll': [est]})
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1729,6 +1938,12 @@ QUERIES = {
     'events_sessionize': (events_sessionize, EVENTS_SESSIONIZE_SQL),
     'events_asof_last_purchase': (events_asof_last_purchase, EVENTS_ASOF_SQL),
     'events_sliding_mean': (events_sliding_mean, EVENTS_SLIDING_SQL),
+    'events_value_delta': (events_value_delta, EVENTS_DELTA_SQL),
+    'orders_price_band_stats': (orders_price_band_stats, ORDERS_PRICE_BAND_SQL),
+    'lineitem_quantity_quantiles': (
+        lineitem_quantity_quantiles, LINEITEM_QUANTILES_SQL,
+    ),
+    'lineitem_rollup_counts': (lineitem_rollup_counts, LINEITEM_ROLLUP_SQL),
     'events_distinct_types': (events_distinct_types, EVENTS_DISTINCT_SQL),
     'orders_union_halves': (orders_union_halves, ORDERS_UNION_SQL),
     'customer_nation_lookup': (customer_nation_lookup, CUSTOMER_NATION_SQL),
@@ -1748,6 +1963,7 @@ QUERIES = {
     'docs_quality': (docs_quality, DOCS_QUALITY_SQL),
     # non-SQL-expressible (rows-only driver check):
     'docs_fingerprint': (docs_fingerprint, None),
+    'events_hll_users': (events_hll_users, None),
     'docs_minhash_pairs': (docs_minhash_pairs, None),
     'docs_simhash_pairs': (docs_simhash_pairs, None),
     'embeddings_neardup_pairs': (embeddings_neardup_pairs, EMB_NEARDUP_SQL),
