@@ -1,6 +1,8 @@
 """Ray Data batch stages."""
 
 from .cogroup import hash_bucket_join
+from .rangejoin import interval_join
+from .sketch import approx_distinct, hll_estimate, hll_merge, hll_sketch
 from .topk import grouped_top_k
 from .validate import (
     ERRORS_COLUMN,
@@ -13,8 +15,13 @@ from .validate import (
 
 __all__ = [
     'ERRORS_COLUMN',
+    'approx_distinct',
     'grouped_top_k',
     'hash_bucket_join',
+    'hll_estimate',
+    'hll_merge',
+    'hll_sketch',
+    'interval_join',
     'ORIGINAL_COLUMN',
     'RecordValidator',
     'ValidateStage',

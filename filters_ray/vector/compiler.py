@@ -52,6 +52,13 @@ class ColumnErrors:
         return out
 
 
+def _is_binary_like(t: pa.DataType) -> bool:
+    return (
+        pa.types.is_binary(t) or pa.types.is_large_binary(t)
+        or pa.types.is_fixed_size_binary(t)
+    )
+
+
 class CompiledChain:
     """A filter chain compiled to a sequence of column kernels."""
 
@@ -69,10 +76,23 @@ class CompiledChain:
         # the vector path but the object in the scalar path, diverging
         # on error codes (e.g. Uuid | Regex: wrong_type vs malformed).
         # Such chains run whole-chain scalar, preserving object flow.
+        # Decimal and Round are representation-bearing the same way:
+        # their scalar outputs are Decimal OBJECTS, which a column can
+        # only hold as decimal128 at one batch-wide scale — or, when a
+        # batch value exceeds 38 digits (a 1e300 float expansion), as
+        # strings. Either materialization changes what a downstream
+        # member observes (Unicode renders '-3.0' for the scalar chain's
+        # '-3'; Regex flags 'malformed' where the scalar chain says
+        # 'wrong_type' — soak findings, r3). Mid-chain, they route the
+        # whole chain scalar; as the LAST member the materialization is
+        # the documented output-representation erasure, not a semantic
+        # change.
+        from ..functions import number as fnumber
         from ..functions import string as fstring
         from .kernels import ScalarFallbackKernel
 
-        if any(isinstance(m, fstring.Uuid) for m in members[:-1]):
+        object_bearing = (fstring.Uuid, fnumber.Decimal, fnumber.Round)
+        if any(isinstance(m, object_bearing) for m in members[:-1]):
             members = [resolved]
             self._members = members
             self._kernels = [ScalarFallbackKernel(resolved)]
@@ -145,7 +165,16 @@ class CompiledChain:
                 )
                 continue
             if vals.type != out.type:
+                # A binary↔string cast would silently re-type the
+                # replacement (MaxBytes' truncated BYTES must stay bytes
+                # even when the chain's output column is string — soak
+                # finding, r3); only same-representation casts are safe.
+                bin_str_clash = (
+                    _is_binary_like(vals.type) != _is_binary_like(out.type)
+                )
                 try:
+                    if bin_str_clash:
+                        raise pa.ArrowTypeError('binary/string clash')
                     vals = vals.cast(out.type)
                 except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
                     # Rare type clash (e.g. replacement bytes into a string

@@ -396,8 +396,33 @@ def _coerce_to_string(arr: pa.Array, encoding: str) -> Tuple[pa.Array, np.ndarra
     if pa.types.is_boolean(t):
         return pc.if_else(arr, pa.scalar('1'), pa.scalar('0')), bad
 
-    if pa.types.is_integer(t) or pa.types.is_floating(t):
+    if pa.types.is_integer(t):
         return arr.cast(pa.string()), bad
+
+    if pa.types.is_floating(t):
+        s = arr.cast(pa.string())
+        # Python str() keeps '.0' on integral floats ('-3.0'); Arrow's
+        # cast drops it ('-3'). Append it when the repr carries no
+        # fraction dot, exponent, or nan/inf marker (soak finding, r3).
+        plain = pc.invert(pc.match_substring_regex(s, r'[.eEni]'))
+        s = pc.if_else(plain, pc.binary_join_element_wise(s, '.0', ''), s)
+        # Arrow's fixed↔scientific threshold differs from Python's
+        # (1e15 → '1e+15' vs '1000000000000000.0'; Python pads the
+        # exponent: '1e-05'). Rebuild the boundary rows — anything Arrow
+        # printed scientific or near the small-magnitude cutoff — with
+        # Python's own repr.
+        risky = _as_bool_ndarray(
+            pc.match_substring_regex(s, r'e|^-?0\.0000'), n,
+        )
+        if risky.any():
+            py = arr.to_pylist()
+            fixed = pa.array(
+                [str(py[i]) if risky[i] and py[i] is not None else None
+                 for i in range(n)],
+                type=pa.string(),
+            )
+            s = pc.if_else(pa.array(~risky), s, fixed)
+        return s, bad
 
     if pa.types.is_decimal(t):
         # format(v, 'f') semantics — Arrow's decimal->string is plain form.

@@ -119,6 +119,27 @@ CASES = [
      ['3466c56a-2f7e-4e5b-affa-292cbe84c2fb', None], None),
     ('unicode_int', lambda: f.Unicode, INTS, None),
     ('unicode_float', lambda: f.Unicode, [1.5, None, -2.25], None),
+    # Integral floats keep Python str()'s trailing '.0' ('-3.0', not
+    # Arrow's '-3'); fixed/scientific threshold rows rebuild with
+    # Python's repr (soak findings, r3).
+    ('unicode_float_integral', lambda: f.Unicode,
+     [-3.0, 1.0, 0.0, 1e15, 1e16, 1e-4, 1e-5, float('nan'), None], None),
+    # Decimal mid-chain routes the whole chain scalar: its decimal128
+    # materialization (batch-max scale / >38-digit stringify) would
+    # change what downstream members observe (soak findings, r3).
+    ('decimal_then_unicode', lambda: f.Decimal | f.Unicode,
+     ['-3', '1.5', None, 'x'], None),
+    ('decimal_then_regex', lambda: f.Decimal | f.Regex(r'^[a-z]+$'),
+     [1.005, 2.5, 1e300, None], None),
+    ('round_then_unicode', lambda: f.Round(10) | f.Unicode,
+     [4, 5, 6, None], None),
+    # MaxBytes' replacement for a too-long row is truncated BYTES
+    # (reference string.py:255); the stitch must not cast it back to
+    # str even when the chain's output column is string-typed (soak
+    # finding, r3). All non-null rows error so both paths stay bytes.
+    ('maxbytes_bytes_replacement_kept',
+     lambda: f.MaxBytes(2) | f.Unicode | f.MinLength(0),
+     ['ümlaut', 'abcd', None, '256.1.1.1'], None),
     ('unicode_bool', lambda: f.Unicode, [True, False, None], None),
     ('unicode_bin', lambda: f.Unicode, [b'ok', None, b'\xff\xfe', 'é'.encode()], pa.binary()),
     ('bytestring', lambda: f.ByteString, STRINGS, None),
