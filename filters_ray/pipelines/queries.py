@@ -1898,6 +1898,108 @@ GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
+def revenue_by_nation_asia(sf_dir: str):
+    """TPC-H-Q5-style FIVE-table composition: revenue per ASIA nation
+    where the ordering customer and the line's supplier share a nation,
+    restricted to a 1994-1996 order-date window.
+
+    Plan shape (the multi-join playbook in one pipeline): nation⋈region
+    resolve driver-side (≤25 rows); customer and supplier ship as
+    broadcast int luts (`ray.put` once); the one LARGE-large join —
+    lineitem⋈orders on orderkey — runs through `hash_bucket_join`;
+    revenue partial-aggregates per batch before a ≤25-group shuffle."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.cogroup import hash_bucket_join
+
+    nation = _read(sf_dir, 'nation').to_pandas()
+    region = _read(sf_dir, 'region').to_pandas()
+    asia = nation.merge(
+        region[region['r_name'] == 'ASIA'],
+        left_on='n_regionkey', right_on='r_regionkey',
+    )
+    asia_keys = set(asia['n_nationkey'])
+    names = dict(zip(asia['n_nationkey'], asia['n_name']))
+
+    cust = _read(sf_dir, 'customer', columns=['c_custkey', 'c_nationkey']).to_pandas()
+    c_lut = np.full(int(cust['c_custkey'].max()) + 1, -1, dtype=np.int32)
+    c_lut[cust['c_custkey'].to_numpy()] = cust['c_nationkey'].to_numpy()
+    supp = _read(sf_dir, 'supplier', columns=['s_suppkey', 's_nationkey']).to_pandas()
+    s_lut = np.full(int(supp['s_suppkey'].max()) + 1, -1, dtype=np.int32)
+    s_lut[supp['s_suppkey'].to_numpy()] = supp['s_nationkey'].to_numpy()
+    c_ref, s_ref = ray.put(c_lut), ray.put(s_lut)
+
+    lo = np.datetime64('1994-01-01', 'us')
+    hi = np.datetime64('1997-01-01', 'us')
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        lut = ray.get(c_ref)
+        odate = batch.column('o_orderdate').combine_chunks().to_numpy()
+        ckey = batch.column('o_custkey').combine_chunks().to_numpy()
+        nk = lut[ckey]
+        keep = (odate >= lo) & (odate < hi) \
+            & np.isin(nk, np.fromiter(asia_keys, dtype=np.int32))
+        idx = np.flatnonzero(keep)
+        return pa.table({
+            'o_orderkey': batch.column('o_orderkey').take(pa.array(idx)),
+            'cust_nation': pa.array(nk[idx].astype(np.int64)),
+        })
+
+    orders = _read(sf_dir, 'orders', columns=[
+        'o_orderkey', 'o_custkey', 'o_orderdate',
+    ]).map_batches(orders_side, batch_format='pyarrow')
+
+    items = _read(sf_dir, 'lineitem', columns=[
+        'l_orderkey', 'l_suppkey', 'l_extendedprice', 'l_discount',
+    ])
+    joined = hash_bucket_join(
+        items, orders, left_on='l_orderkey', right_on='o_orderkey',
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lut = ray.get(s_ref)
+        sk = batch.column('l_suppkey').combine_chunks().to_numpy()
+        cn = batch.column('cust_nation').combine_chunks().to_numpy()
+        same = lut[sk] == cn
+        idx = np.flatnonzero(same)
+        price = batch.column('l_extendedprice').combine_chunks().to_numpy()[idx]
+        disc = batch.column('l_discount').combine_chunks().to_numpy()[idx]
+        nk = cn[idx]
+        sums = np.bincount(nk, weights=price * (1.0 - disc), minlength=25)
+        present = np.flatnonzero(sums)
+        return pa.table({
+            'nk': pa.array(present.astype(np.int64)),
+            'revenue': pa.array(sums[present]),
+        })
+
+    out = joined.map_batches(partial, batch_format='pyarrow') \
+        .groupby('nk').aggregate(Sum('revenue', alias_name='revenue'))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keys = batch.column('nk').to_pylist()   # ≤25 rows
+        return pa.table({
+            'n_name': pa.array([names[k] for k in keys], type=pa.string()),
+            'revenue': _round4(batch.column('revenue')),
+        })
+
+    return out.map_batches(finish, batch_format='pyarrow')
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+           AS revenue
+FROM customer c, orders o, lineitem l, supplier s, nation n, region r
+WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+  AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+  AND r.r_name = 'ASIA'
+  AND o.o_orderdate >= DATE '1994-01-01'
+  AND o.o_orderdate <  DATE '1997-01-01'
+GROUP BY n.n_name
+"""
+
+
 def events_hll_users(sf_dir: str):
     """Approximate COUNT(DISTINCT user_id) via the HyperLogLog sketch
     stage (stages/sketch.py) — only 16 KiB per block reaches the
@@ -1944,6 +2046,7 @@ QUERIES = {
         lineitem_quantity_quantiles, LINEITEM_QUANTILES_SQL,
     ),
     'lineitem_rollup_counts': (lineitem_rollup_counts, LINEITEM_ROLLUP_SQL),
+    'revenue_by_nation_asia': (revenue_by_nation_asia, REVENUE_BY_NATION_SQL),
     'events_distinct_types': (events_distinct_types, EVENTS_DISTINCT_SQL),
     'orders_union_halves': (orders_union_halves, ORDERS_UNION_SQL),
     'customer_nation_lookup': (customer_nation_lookup, CUSTOMER_NATION_SQL),
