@@ -146,6 +146,8 @@ QUERY_SUBSET = [
     'docs_minhash_pairs',
     'knn_top10',
     'docs_lang_id',
+    'revenue_by_nation_asia',
+    'events_hll_users',
 ]
 
 

@@ -195,9 +195,12 @@ class MinHashStage:
         h = np.zeros(H, dtype=np.uint64)
         prime = np.uint64(1099511628211)
         mult = np.uint64(1)
-        for j in range(k):
-            h += buf[j: H + j].astype(np.uint64) * mult
-            mult *= prime
+        # The hash is defined modulo 2^64: the multiply wraps by design
+        # (numpy warns on SCALAR uint64 overflow; array ops stay silent).
+        with np.errstate(over='ignore'):
+            for j in range(k):
+                h += buf[j: H + j].astype(np.uint64) * mult
+                mult *= prime
         h %= _MERSENNE
 
         # Windows that belong to a document (everything else is inter-doc

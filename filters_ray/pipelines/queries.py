@@ -1907,9 +1907,11 @@ def revenue_by_nation_asia(sf_dir: str):
     resolve driver-side (≤25 rows); customer and supplier ship as
     broadcast int luts (`ray.put` once); the one LARGE-large join —
     lineitem⋈orders on orderkey — runs through `hash_bucket_join`;
-    revenue partial-aggregates per batch before a ≤25-group shuffle."""
+    revenue partial-aggregates per batch before a ≤25-group shuffle.
+    The supplier-nation predicate is pushed BELOW the join (a line whose
+    supplier is outside the region can never satisfy cust_nation ==
+    supp_nation ∈ ASIA), shrinking the shuffled side ~5× up front."""
     import ray
-    from ray.data.aggregate import Sum
 
     from ..stages.cogroup import hash_bucket_join
 
@@ -1950,40 +1952,49 @@ def revenue_by_nation_asia(sf_dir: str):
         'o_orderkey', 'o_custkey', 'o_orderdate',
     ]).map_batches(orders_side, batch_format='pyarrow')
 
+    def items_side(batch: pa.Table) -> pa.Table:
+        lut = ray.get(s_ref)
+        sk = batch.column('l_suppkey').combine_chunks().to_numpy()
+        sn = lut[sk]
+        keep = np.isin(sn, np.fromiter(asia_keys, dtype=np.int32))
+        idx = np.flatnonzero(keep)
+        price = batch.column('l_extendedprice').combine_chunks().to_numpy()[idx]
+        disc = batch.column('l_discount').combine_chunks().to_numpy()[idx]
+        return pa.table({
+            'l_orderkey': batch.column('l_orderkey').take(pa.array(idx)),
+            'supp_nation': pa.array(sn[idx].astype(np.int64)),
+            'net': pa.array(price * (1.0 - disc)),
+        })
+
     items = _read(sf_dir, 'lineitem', columns=[
         'l_orderkey', 'l_suppkey', 'l_extendedprice', 'l_discount',
-    ])
+    ]).map_batches(items_side, batch_format='pyarrow')
     joined = hash_bucket_join(
         items, orders, left_on='l_orderkey', right_on='o_orderkey',
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        lut = ray.get(s_ref)
-        sk = batch.column('l_suppkey').combine_chunks().to_numpy()
+        sn = batch.column('supp_nation').combine_chunks().to_numpy()
         cn = batch.column('cust_nation').combine_chunks().to_numpy()
-        same = lut[sk] == cn
-        idx = np.flatnonzero(same)
-        price = batch.column('l_extendedprice').combine_chunks().to_numpy()[idx]
-        disc = batch.column('l_discount').combine_chunks().to_numpy()[idx]
+        idx = np.flatnonzero(sn == cn)
+        net = batch.column('net').combine_chunks().to_numpy()[idx]
         nk = cn[idx]
-        sums = np.bincount(nk, weights=price * (1.0 - disc), minlength=25)
+        sums = np.bincount(nk, weights=net, minlength=25)
         present = np.flatnonzero(sums)
         return pa.table({
             'nk': pa.array(present.astype(np.int64)),
             'revenue': pa.array(sums[present]),
         })
 
-    out = joined.map_batches(partial, batch_format='pyarrow') \
-        .groupby('nk').aggregate(Sum('revenue', alias_name='revenue'))
-
-    def finish(batch: pa.Table) -> pa.Table:
-        keys = batch.column('nk').to_pylist()   # ≤25 rows
-        return pa.table({
-            'n_name': pa.array([names[k] for k in keys], type=pa.string()),
-            'revenue': _round4(batch.column('revenue')),
-        })
-
-    return out.map_batches(finish, batch_format='pyarrow')
+    # ≤25 partial rows per block reach the driver — folding them here
+    # skips a second all-to-all whose group count is bounded by the
+    # nation table, not the data.
+    partials = joined.map_batches(partial, batch_format='pyarrow').to_pandas()
+    out = partials.groupby('nk', as_index=False)['revenue'].sum()
+    return pd.DataFrame({
+        'n_name': [names[k] for k in out['nk']],
+        'revenue': np.round(out['revenue'].to_numpy(), 4),
+    })
 
 
 REVENUE_BY_NATION_SQL = """
