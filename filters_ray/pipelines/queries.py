@@ -1921,7 +1921,7 @@ def revenue_by_nation_asia(sf_dir: str):
         region[region['r_name'] == 'ASIA'],
         left_on='n_regionkey', right_on='r_regionkey',
     )
-    asia_keys = set(asia['n_nationkey'])
+    asia_keys = asia['n_nationkey'].to_numpy(dtype=np.int32)
     names = dict(zip(asia['n_nationkey'], asia['n_name']))
 
     cust = _read(sf_dir, 'customer', columns=['c_custkey', 'c_nationkey']).to_pandas()
@@ -1941,7 +1941,7 @@ def revenue_by_nation_asia(sf_dir: str):
         ckey = batch.column('o_custkey').combine_chunks().to_numpy()
         nk = lut[ckey]
         keep = (odate >= lo) & (odate < hi) \
-            & np.isin(nk, np.fromiter(asia_keys, dtype=np.int32))
+            & np.isin(nk, asia_keys)
         idx = np.flatnonzero(keep)
         return pa.table({
             'o_orderkey': batch.column('o_orderkey').take(pa.array(idx)),
@@ -1956,7 +1956,7 @@ def revenue_by_nation_asia(sf_dir: str):
         lut = ray.get(s_ref)
         sk = batch.column('l_suppkey').combine_chunks().to_numpy()
         sn = lut[sk]
-        keep = np.isin(sn, np.fromiter(asia_keys, dtype=np.int32))
+        keep = np.isin(sn, asia_keys)
         idx = np.flatnonzero(keep)
         price = batch.column('l_extendedprice').combine_chunks().to_numpy()[idx]
         disc = batch.column('l_discount').combine_chunks().to_numpy()[idx]

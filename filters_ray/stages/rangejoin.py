@@ -64,9 +64,13 @@ def interval_join(
     def probe(batch: pa.Table) -> pa.Table:
         los_, his_, attrs_ = ray.get(ivals_ref)
         v = _as_numpy(batch.column(on))
-        idx = np.searchsorted(los_, v, side='right') - 1
-        # NaN/NaT compare false, so nulls fall out as unmatched here.
-        matched = (idx >= 0) & np.less(v, his_[np.clip(idx, 0, None)])
+        if len(los_) == 0:
+            idx = np.zeros(len(v), dtype=np.int64)
+            matched = np.zeros(len(v), dtype=bool)
+        else:
+            idx = np.searchsorted(los_, v, side='right') - 1
+            # NaN/NaT compare false, so nulls fall out as unmatched here.
+            matched = (idx >= 0) & np.less(v, his_[np.clip(idx, 0, None)])
         if how == 'inner':
             keep = np.flatnonzero(matched)
             out = batch.take(pa.array(keep))

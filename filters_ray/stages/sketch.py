@@ -56,9 +56,14 @@ def _hash_column(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     col = col.drop_null()
-    if pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
+    if pa.types.is_integer(col.type):
         vals = col.to_numpy(zero_copy_only=False)
         return _splitmix64(vals.astype(np.int64).view(_U))
+    if pa.types.is_floating(col.type):
+        # Bit-pattern hash (widened to float64): value truncation would
+        # collide every float sharing an integer part.
+        vals = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        return _splitmix64(vals.view(_U))
     import pandas as pd
     raw = pd.util.hash_array(
         np.asarray(col.to_pandas(), dtype=object), categorize=False,

@@ -400,6 +400,10 @@ def _coerce_to_string(arr: pa.Array, encoding: str) -> Tuple[pa.Array, np.ndarra
         return arr.cast(pa.string()), bad
 
     if pa.types.is_floating(t):
+        if not pa.types.is_float64(t):
+            # The scalar path sees the WIDENED Python float (float32 0.1
+            # → 0.10000000149011612); match it before stringifying.
+            arr = arr.cast(pa.float64())
         s = arr.cast(pa.string())
         # Python str() keeps '.0' on integral floats ('-3.0'); Arrow's
         # cast drops it ('-3'). Append it when the repr carries no

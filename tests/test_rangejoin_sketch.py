@@ -84,6 +84,17 @@ class TestIntervalJoin:
         out = interval_join(ds, ivals, on='ts').to_pandas()
         assert out['id'].tolist() == [0]
 
+    def test_empty_interval_table(self):
+        from filters_ray.stages.rangejoin import interval_join
+
+        empty = _bands().slice(0, 0)
+        inner = interval_join(self._ds([1.0, 2.0]), empty, on='v').to_pandas()
+        assert len(inner) == 0
+        left = interval_join(
+            self._ds([1.0, 2.0]), empty, on='v', how='left',
+        ).to_pandas()
+        assert len(left) == 2 and left['band'].isna().all()
+
     def test_rejects_bad_intervals(self):
         from filters_ray.stages.rangejoin import interval_join
 
@@ -133,6 +144,19 @@ class TestHll:
         exact = len(np.unique(vals))
         est = approx_distinct(ds, 'u')
         assert abs(est - exact) / exact < 0.02, (exact, est)
+
+    def test_float_hashes_are_bit_pattern(self):
+        from filters_ray.stages.sketch import _hash_column
+
+        # Value truncation would collapse 0.1/0.2/0.3 into one hash.
+        col = pa.array([0.1, 0.2, 0.3, 0.5, 1.5, -3.0, 2.5, None])
+        h = _hash_column(col)
+        assert len(np.unique(h)) == 7
+        # float32 must widen, not truncate, and agree with float64 of
+        # the widened value.
+        f32 = pa.array([0.5, 1.5], type=pa.float32())
+        f64 = pa.array([0.5, 1.5], type=pa.float64())
+        assert np.array_equal(_hash_column(f32), _hash_column(f64))
 
     @pytest.mark.usefixtures('ray_session')
     def test_string_column(self):

@@ -124,6 +124,14 @@ CASES = [
     # Python's repr (soak findings, r3).
     ('unicode_float_integral', lambda: f.Unicode,
      [-3.0, 1.0, 0.0, 1e15, 1e16, 1e-4, 1e-5, float('nan'), None], None),
+    # float32 widens to the Python double the scalar path sees
+    # (float32(0.1) → '0.10000000149011612'), it does not keep Arrow's
+    # float32 shortest repr (review finding, r3). Values are pre-rounded
+    # to the float32 grid so the harness's scalar side sees what the
+    # column stores.
+    ('unicode_float32', lambda: f.Unicode,
+     [float(__import__('numpy').float32(0.1)), 1.5, -3.0, None],
+     pa.float32()),
     # Decimal mid-chain routes the whole chain scalar: its decimal128
     # materialization (batch-max scale / >38-digit stringify) would
     # change what downstream members observe (soak findings, r3).
