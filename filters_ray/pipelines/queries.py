@@ -1319,6 +1319,95 @@ FROM ratios
 """
 
 
+def _plant_pii(batch: pa.Table) -> pa.Table:
+    """Test scaffolding (mirrored verbatim in the SQL oracle): append a
+    deterministic PII snippet to every 5th doc so the scrub provably
+    fires — a vacuous 0-redactions check proves nothing (the VERDICT r1
+    near-dup lesson). Row loop is fine here: this is fixture planting,
+    not an engine stage."""
+    ids = batch.column('doc_id').to_numpy(zero_copy_only=False)
+    texts = batch.column('text').to_numpy(zero_copy_only=False)
+    out = [
+        t + f' contact user{i}@example.com ip 10.{i % 200}.0.{i % 250}'
+            f' call 555-301-{i % 10000:04d} ssn 123-45-6789'
+        if i % 5 == 0 else t
+        for i, t in zip(ids.tolist(), texts.tolist())
+    ]
+    return batch.set_column(batch.column_names.index('text'), 'text',
+                            pa.array(out, type=pa.string()))
+
+
+def docs_pii_scrub(sf_dir: str):
+    """PII redaction over the documents corpus (emails / IPv4s / phone
+    numbers / SSN-shaped ids → typed tokens), the standard pre-training
+    scrub pass. Actor-pool stage, fully vectorized RE2; counts are taken
+    against the original text, redactions applied in fixed pattern
+    order."""
+    from .dedup import _default_pool_size
+    from .text import PiiRedactStage
+
+    ds = _read(sf_dir, 'documents', columns=['doc_id', 'text'])
+    ds = ds.map_batches(_plant_pii, batch_format='pyarrow')
+    ds = ds.map_batches(
+        PiiRedactStage,
+        fn_constructor_kwargs={'column': 'text', 'out_column': 'scrubbed'},
+        batch_format='pyarrow', concurrency=_default_pool_size(),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            'doc_id': batch.column('doc_id'),
+            'n_email': batch.column('n_email'),
+            'n_ipv4': batch.column('n_ipv4'),
+            'n_phone': batch.column('n_phone'),
+            'n_ssn': batch.column('n_ssn'),
+            'clean_len': pc.cast(
+                pc.utf8_length(batch.column('scrubbed')), pa.int64()),
+        })
+
+    return ds.map_batches(finish, batch_format='pyarrow')
+
+
+def _pii_scrub_sql() -> str:
+    """SQL mirror of PiiRedactStage generated from the SAME pattern dict
+    (the _lang_id_sql trick): DuckDB's regexp engine is RE2 like
+    pyarrow's, so counts-on-original + sequential global replaces match
+    bit-for-bit. The planting CASE mirrors _plant_pii."""
+    from .text import PII_PATTERNS
+
+    count_cols = ',\n           '.join(
+        "CAST(len(regexp_extract_all(text, '{}')) AS BIGINT) AS n_{}".format(
+            pattern.replace("'", "''"), name,
+        )
+        for name, (pattern, _) in PII_PATTERNS.items()
+    )
+    scrubbed = 'text'
+    for name, (pattern, token) in PII_PATTERNS.items():
+        pat_sql = pattern.replace("'", "''")
+        scrubbed = f"regexp_replace({scrubbed}, '{pat_sql}', '{token}', 'g')"
+    return f"""
+WITH planted AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN text
+                || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                || ' ip 10.' || CAST(doc_id % 200 AS VARCHAR)
+                || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+                || ' call 555-301-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                || ' ssn 123-45-6789'
+           ELSE text END AS text
+    FROM documents
+)
+SELECT doc_id,
+       {count_cols},
+       CAST(length({scrubbed}) AS BIGINT) AS clean_len
+FROM planted
+"""
+
+
+DOCS_PII_SQL = _pii_scrub_sql()
+
+
 def docs_fingerprint(sf_dir: str):
     from .text import add_fingerprint
 
@@ -2075,6 +2164,7 @@ QUERIES = {
     'cdc_lake_repo_stats': (cdc_lake_repo_stats, CDC_LAKE_STATS_SQL),
     'docs_lang_id': (docs_lang_id, DOCS_LANG_ID_SQL),
     'docs_quality': (docs_quality, DOCS_QUALITY_SQL),
+    'docs_pii_scrub': (docs_pii_scrub, DOCS_PII_SQL),
     # non-SQL-expressible (rows-only driver check):
     'docs_fingerprint': (docs_fingerprint, None),
     'events_hll_users': (events_hll_users, None),

@@ -20,6 +20,8 @@ import pyarrow.compute as pc
 
 __all__ = [
     'LangIdStage',
+    'PiiRedactStage',
+    'PII_PATTERNS',
     'add_fingerprint',
     'add_quality_score',
     'add_token_count',
@@ -115,6 +117,59 @@ def add_fingerprint(batch: pa.Table, column: str = 'text') -> pa.Table:
     hexes = np.array([f'{h:016x}' for h in hashed], dtype=object)
     hexes[mask] = None
     return batch.append_column('fingerprint', pa.array(hexes, type=pa.string()))
+
+
+# PII redaction. Pattern order is part of the contract: patterns are
+# applied in dict order, and counts are taken against the ORIGINAL text
+# (before any replacement), so an oracle replaying the same sequence gets
+# bit-identical output. All patterns are RE2-safe (no backrefs /
+# lookaround) — pyarrow.compute and DuckDB both run RE2, which is what
+# makes the SQL oracle exact.
+PII_PATTERNS: Dict[str, tuple] = {
+    'email': (r'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>'),
+    'ipv4': (r'\b\d{1,3}(?:\.\d{1,3}){3}\b', '<IP>'),
+    'phone': (r'\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>'),
+    'ssn': (r'\b\d{3}-\d{2}-\d{4}\b', '<SSN>'),
+}
+
+
+class PiiRedactStage:
+    """Actor-pool PII scrub for training corpora: redact emails / IPv4s /
+    phone numbers / SSN-shaped ids from a text column, emitting the
+    scrubbed text plus per-category hit counts.
+
+    ``__init__`` fixes the pattern set once per actor; ``__call__`` is
+    pure vectorized RE2 (`count_substring_regex` for the counts,
+    `replace_substring_regex` for the redaction) — no Python row loop.
+    """
+
+    def __init__(self, column: str = 'text',
+                 patterns: Optional[Dict[str, tuple]] = None,
+                 out_column: Optional[str] = None) -> None:
+        self.column = column
+        self.patterns = patterns or PII_PATTERNS
+        self.out_column = out_column or column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.column)
+        counts = {}
+        for name, (pattern, _) in self.patterns.items():
+            counts[name] = pc.cast(
+                pc.count_substring_regex(col, pattern), pa.int64())
+        scrubbed = col
+        for name, (pattern, token) in self.patterns.items():
+            scrubbed = pc.replace_substring_regex(
+                scrubbed, pattern=pattern, replacement=token)
+        names = set(batch.column_names)
+        if self.out_column in names:
+            batch = batch.set_column(
+                batch.column_names.index(self.out_column),
+                self.out_column, scrubbed)
+        else:
+            batch = batch.append_column(self.out_column, scrubbed)
+        for name, arr in counts.items():
+            batch = batch.append_column(f'n_{name}', arr)
+        return batch
 
 
 # Stopword profiles for the n-gram/stopword language-ID heuristic. Small

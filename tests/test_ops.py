@@ -518,3 +518,29 @@ def test_bucket_count_bounds_per_group_rows():
         nb = _bucket_count(rows)
         assert rows / nb <= 131072
     assert _bucket_count(10**10) >= 10**10 // 131072
+
+
+def test_pii_redact_stage():
+    from filters_ray.pipelines.text import PiiRedactStage
+
+    t = pa.table({
+        'doc_id': [1, 2, 3],
+        'text': [
+            'mail me at jane.doe+spam@example.co.uk thanks',
+            'server 192.168.1.254 called 555-123-4567; ssn 321-54-9876',
+            'nothing sensitive here',
+        ],
+    })
+    out = PiiRedactStage('text', out_column='scrubbed')(t)
+    scrubbed = out.column('scrubbed').to_pylist()
+    assert scrubbed[0] == 'mail me at <EMAIL> thanks'
+    assert scrubbed[1] == 'server <IP> called <PHONE>; ssn <SSN>'
+    assert scrubbed[2] == 'nothing sensitive here'
+    assert out.column('n_email').to_pylist() == [1, 0, 0]
+    assert out.column('n_ipv4').to_pylist() == [0, 1, 0]
+    assert out.column('n_phone').to_pylist() == [0, 1, 0]
+    assert out.column('n_ssn').to_pylist() == [0, 1, 0]
+    # In-place mode replaces the source column.
+    inplace = PiiRedactStage('text')(t)
+    assert inplace.column('text').to_pylist()[0] == 'mail me at <EMAIL> thanks'
+    assert 'scrubbed' not in inplace.column_names
