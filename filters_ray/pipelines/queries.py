@@ -2002,6 +2002,7 @@ def revenue_by_nation_asia(sf_dir: str):
     supp_nation ∈ ASIA), shrinking the shuffled side ~5× up front."""
     import ray
 
+    from ..stages.bloom import bloom_semi_filter, build_bloom
     from ..stages.cogroup import hash_bucket_join
 
     nation = _read(sf_dir, 'nation').to_pandas()
@@ -2058,6 +2059,18 @@ def revenue_by_nation_asia(sf_dir: str):
     items = _read(sf_dir, 'lineitem', columns=[
         'l_orderkey', 'l_suppkey', 'l_extendedprice', 'l_discount',
     ]).map_batches(items_side, batch_format='pyarrow')
+
+    # Bloom semi-join pushdown: the date+region filter keeps ~28% of
+    # orders, so ~72% of the (bigger) lineitem side would enter the
+    # exchange only to find no partner. Build a ~0.5%-FPR bloom over the
+    # surviving orderkeys (shipped once per probe actor) and drop those
+    # rows BEFORE the all-to-all. Orders is materialized because it
+    # feeds both the bloom build and the join — it is the post-filter
+    # SMALL side (2 int columns), and blocks spill rather than pin.
+    orders = orders.materialize()
+    bloom = build_bloom(orders, 'o_orderkey')
+    items = bloom_semi_filter(items, 'l_orderkey', bloom)
+
     joined = hash_bucket_join(
         items, orders, left_on='l_orderkey', right_on='o_orderkey',
     )

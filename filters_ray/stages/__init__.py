@@ -1,5 +1,6 @@
 """Ray Data batch stages."""
 
+from .bloom import BloomFilter, bloom_semi_filter, build_bloom
 from .cogroup import hash_bucket_join
 from .rangejoin import interval_join
 from .sketch import approx_distinct, hll_estimate, hll_merge, hll_sketch
@@ -14,8 +15,11 @@ from .validate import (
 )
 
 __all__ = [
+    'BloomFilter',
     'ERRORS_COLUMN',
     'approx_distinct',
+    'bloom_semi_filter',
+    'build_bloom',
     'grouped_top_k',
     'hash_bucket_join',
     'hll_estimate',
