@@ -363,6 +363,16 @@ def _merge_partition_tables(tables: List[pa.Table]) -> pa.Table:
     return _drop_tombstones(_last_writer_wins(both))
 
 
+def _concat_widened(tables: List[pa.Table]) -> pa.Table:
+    """Concat with additive schema widening across inputs."""
+    if not tables:
+        return pa.table({})
+    schema = tables[0].schema
+    for t in tables[1:]:
+        schema, _ = widen_schema(schema, t.schema)
+    return pa.concat_tables([align_table(t, schema) for t in tables])
+
+
 def _partition_file_paths(store: ManifestStore, pid: int, manifest) -> List[str]:
     """Base + manifest-LISTED delta paths (unlisted deltas are orphans)."""
     paths = []
@@ -452,8 +462,19 @@ def _last_writer_wins_sorted(table: pa.Table) -> pa.Table:
     return table.filter(pa.array(is_last))
 
 
+def _parse_delta_range(name: str) -> Optional[tuple]:
+    """LSN window from a delta/history file name (``delta-<lo>-<hi>.parquet``)
+    — the pruning key for changes()/table_as_of() file selection."""
+    import re
+
+    m = re.fullmatch(r'delta-(\d+)-(\d+)\.parquet', name)
+    if m is None:
+        return None
+    return int(m.group(1)), int(m.group(2))
+
+
 def make_upsert_fn(lake_root: str, redrive: bool = False,
-                   compact_every: int = 8):
+                   compact_every: int = 8, retain_history: bool = False):
     """Build the per-partition map_groups function (closure: picklable).
 
     ``redrive=True`` is the dead-letter replay mode: the incoming group IS
@@ -467,6 +488,14 @@ def make_upsert_fn(lake_root: str, redrive: bool = False,
     touched partition (no base rewrite — VERDICT r2 #5); when the active
     delta list reaches this length the partition compacts back into one
     base file. Redrive always compacts (it must rewrite counts anyway).
+
+    ``retain_history``: every commit also publishes its (within-run
+    LWW'd, tombstones kept) delta snapshot under ``part=<p>/history/``
+    and lists it in the manifest's ``history`` — the record behind the
+    change-data-feed (:meth:`CDCPipeline.changes`) and as-of-LSN time
+    travel (:meth:`CDCPipeline.table_as_of`). Commit granularity, like
+    Delta Lake CDF: versions a key overwrote *within* one micro-batch
+    are collapsed by that batch's LWW.
     """
 
     def upsert_partition(group: pa.Table) -> pa.Table:
@@ -596,10 +625,30 @@ def make_upsert_fn(lake_root: str, redrive: bool = False,
         else:
             mode = 'delta'
 
-        # 5. Commit: data/delta first, then manifest, atomically.
+        # 5. Commit: data/delta first, then manifest, atomically. With
+        #    retain_history, the micro-batch's own LWW'd snapshot (with
+        #    tombstones — a CDF must show deletes) is ALSO published under
+        #    history/ before the manifest lists it; idempotent under
+        #    retry (replayed windows overwrite their own file name).
+        prev_history = list(prev.history) if prev else []
+        new_history = prev_history
         tmp_data = None
         remove_data = False
         new_deltas = prev_deltas
+
+        def retain_incoming_snapshot() -> None:
+            nonlocal new_history
+            hist = _last_writer_wins(incoming)
+            lsns = hist.column('last_lsn')
+            lo, hi = pc.min(lsns).as_py(), pc.max(lsns).as_py()
+            name = f'delta-{lo}-{hi}.parquet'
+            os.makedirs(store.history_dir(pid), exist_ok=True)
+            tmp = store.tmp_path(pid, kind='hist')
+            pq.write_table(hist, tmp)
+            os.replace(tmp, store.history_path(pid, name))
+            if name not in new_history:
+                new_history = new_history + [name]
+
         if mode == 'noop':
             rows = prev.rows if prev else 0
             nbytes = prev.bytes if prev else 0
@@ -619,6 +668,13 @@ def make_upsert_fn(lake_root: str, redrive: bool = False,
             os.replace(tmp, store.delta_path(pid, name))
             if name not in prev_deltas:
                 new_deltas = prev_deltas + [name]
+            if retain_history:
+                # Hardlink the just-written delta into history (same
+                # bytes, no second write).
+                store.retain_to_history(
+                    pid, store.delta_path(pid, name), name)
+                if name not in new_history:
+                    new_history = new_history + [name]
             # Exact live-row count WITHOUT touching content bytes: merge
             # the key columns only (column-pruned reads of base+deltas).
             key_tables = _read_partition_tables(
@@ -637,6 +693,11 @@ def make_upsert_fn(lake_root: str, redrive: bool = False,
                 f'{prev_sha}:{_canonical_digest(delta)}'.encode(),
             ).hexdigest()
         else:  # bootstrap | compact — full canonical state in hand
+            if retain_history and incoming.num_rows:
+                # The prev ACTIVE deltas being folded away were already
+                # retained at their own commit time; only this batch's
+                # snapshot is new to history.
+                retain_incoming_snapshot()
             state_tables = []
             if mode == 'compact':
                 state_tables = _read_partition_tables(store, pid, prev)
@@ -663,6 +724,7 @@ def make_upsert_fn(lake_root: str, redrive: bool = False,
             events_skipped=int(skipped),
             deltas=new_deltas,
             dlq_corrupt_lsns=sorted(corrupt_lsns),
+            history=new_history,
         )
         store.commit_partition(manifest, tmp_data, remove_data=remove_data)
         # Post-commit hygiene: compacted / orphaned delta files reclaim.
@@ -717,6 +779,7 @@ class CDCPipeline:
         batch_size: int = 131072,
         validate_concurrency: Optional[int] = None,
         compact_every: int = 8,
+        retain_history: bool = False,
     ) -> None:
         self.lake_root = lake_root
         self.langs = list(langs) if langs is not None else None
@@ -728,12 +791,18 @@ class CDCPipeline:
         store = ManifestStore(lake_root)
         meta = store.read_meta()
         if meta is None:
-            meta = TableMeta(num_partitions=num_partitions)
+            meta = TableMeta(num_partitions=num_partitions,
+                             retain_history=retain_history)
             store.write_meta(meta)
-        elif meta.num_partitions != num_partitions:
-            # The pinned partition count wins — replay determinism.
-            num_partitions = meta.num_partitions
+        else:
+            if meta.num_partitions != num_partitions:
+                # The pinned partition count wins — replay determinism.
+                num_partitions = meta.num_partitions
+            # Retention is pinned at lake creation too: a lake that ever
+            # compacted without it has unfillable history holes.
+            retain_history = bool(getattr(meta, 'retain_history', False))
         self.num_partitions = num_partitions
+        self.retain_history = retain_history
         self.store = store
 
     # -- execution -------------------------------------------------------
@@ -763,7 +832,8 @@ class CDCPipeline:
         )
 
         summaries = validated.groupby(PART_COLUMN).map_groups(
-            make_upsert_fn(self.lake_root, compact_every=self.compact_every),
+            make_upsert_fn(self.lake_root, compact_every=self.compact_every,
+                           retain_history=self.retain_history),
             batch_format='pyarrow',
         )
 
@@ -881,6 +951,147 @@ class CDCPipeline:
             [('repo', 'ascending'), ('path', 'ascending')],
         )
 
+    # -- change-data-feed + time travel (retain_history lakes) -----------
+
+    def _require_history(self, what: str) -> None:
+        meta = self.store.read_meta()
+        if meta is None or not getattr(meta, 'retain_history', False):
+            raise ValueError(
+                f'{what} needs a lake created with retain_history=True '
+                '(commits before retention was on are unrecoverable)',
+            )
+
+    def _history_files(self, since_lsn: int = -1,
+                       until_lsn: Optional[int] = None) -> List[str]:
+        """History file paths whose LSN window overlaps
+        (since_lsn, until_lsn] — filename-pruned, no file reads."""
+        paths: List[str] = []
+        for pid in range(self.num_partitions):
+            manifest = self.store.read_manifest(pid)
+            if manifest is None:
+                continue
+            for name in manifest.history:
+                rng = _parse_delta_range(name)
+                if rng is None:
+                    continue
+                lo, hi = rng
+                if hi <= since_lsn or (until_lsn is not None and lo > until_lsn):
+                    continue
+                p = self.store.history_path(pid, name)
+                if os.path.exists(p):
+                    paths.append(p)
+        return paths
+
+    def changes_dataset(self, since_lsn: int = -1,
+                        until_lsn: Optional[int] = None):
+        """Change-data-feed as a streaming Dataset: every committed
+        change row (op='delete' tombstones included) with
+        ``since_lsn < last_lsn <= until_lsn``, at commit granularity
+        (within-micro-batch overwrites are collapsed by that batch's
+        LWW, as in Delta Lake CDF). File pruning via the LSN window in
+        each history file's name — only overlapping files are read."""
+        import ray.data as rd
+
+        self._require_history('changes()')
+        paths = self._history_files(since_lsn, until_lsn)
+        if not paths:
+            return rd.from_arrow(pa.table({
+                'repo': pa.array([], type=pa.string()),
+                'path': pa.array([], type=pa.string()),
+                'op': pa.array([], type=pa.string()),
+                'last_lsn': pa.array([], type=pa.int64()),
+            }))
+
+        def window(batch: pa.Table) -> pa.Table:
+            lsn = batch.column('last_lsn')
+            mask = pc.greater(lsn, since_lsn)
+            if until_lsn is not None:
+                mask = pc.and_(mask, pc.less_equal(lsn, until_lsn))
+            return batch.filter(mask)
+
+        return rd.read_parquet(paths).map_batches(
+            window, batch_format='pyarrow')
+
+    def changes(self, since_lsn: int = -1,
+                until_lsn: Optional[int] = None) -> pa.Table:
+        """Small-result/test wrapper over :meth:`changes_dataset`,
+        ordered by (last_lsn, repo, path)."""
+        table = _concat_widened(
+            list(self.changes_dataset(since_lsn, until_lsn)
+                 .iter_batches(batch_format='pyarrow')),
+        )
+        if table.num_rows == 0:
+            return table
+        return table.sort_by([
+            ('last_lsn', 'ascending'),
+            ('repo', 'ascending'), ('path', 'ascending'),
+        ])
+
+    def table_as_of(self, lsn: int) -> pa.Table:
+        """The lake's live rows as of ``lsn`` (state after every commit
+        whose events were all ≤ lsn): union the retained history up to
+        ``lsn``, LWW, drop tombstones. Exact at commit boundaries —
+        within one micro-batch a key's overwritten versions were
+        collapsed by that batch's LWW, so an ``lsn`` splitting a batch's
+        per-key update run reflects only the batch's winners (commit
+        granularity, as documented for :meth:`changes`)."""
+        self._require_history('table_as_of()')
+        out = []
+        for pid in range(self.num_partitions):
+            manifest = self.store.read_manifest(pid)
+            if manifest is None:
+                continue
+            tables = []
+            for name in manifest.history:
+                rng = _parse_delta_range(name)
+                if rng is None or rng[0] > lsn:
+                    continue
+                p = self.store.history_path(pid, name)
+                if not os.path.exists(p):
+                    continue
+                t = pq.read_table(p)
+                tables.append(t.filter(
+                    pc.less_equal(t.column('last_lsn'), lsn)))
+            tables = [t for t in tables if t.num_rows]
+            if tables:
+                merged = _merge_partition_tables(tables)
+                if merged.num_rows:
+                    out.append(merged)
+        if not out:
+            return pa.table({})
+        return _concat_widened(out).sort_by(
+            [('repo', 'ascending'), ('path', 'ascending')],
+        )
+
+    def vacuum_history(self, before_lsn: int) -> int:
+        """Reclaim history files whose whole LSN window is < before_lsn
+        (bounding changes()/table_as_of() to the retained window, like
+        Delta Lake VACUUM). Manifest commits first; file removal after.
+        Returns the number of files removed."""
+        removed = 0
+        for pid in range(self.num_partitions):
+            manifest = self.store.read_manifest(pid)
+            if manifest is None or not manifest.history:
+                continue
+            keep, drop = [], []
+            for name in manifest.history:
+                rng = _parse_delta_range(name)
+                if rng is not None and rng[1] < before_lsn:
+                    drop.append(name)
+                else:
+                    keep.append(name)
+            if not drop:
+                continue
+            manifest.history = keep
+            self.store.commit_partition(manifest, None, remove_data=False)
+            for name in drop:
+                try:
+                    os.remove(self.store.history_path(pid, name))
+                    removed += 1
+                except FileNotFoundError:
+                    pass
+        return removed
+
     def replay_dlq(
         self,
         langs: Optional[List[str]] = None,
@@ -929,7 +1140,8 @@ class CDCPipeline:
             zero_copy_batch=True,
         )
         summaries = validated.groupby(PART_COLUMN).map_groups(
-            make_upsert_fn(self.lake_root, redrive=True),
+            make_upsert_fn(self.lake_root, redrive=True,
+                           retain_history=self.retain_history),
             batch_format='pyarrow',
         )
         report = RunReport()

@@ -59,6 +59,11 @@ class PartitionManifest:
     # already folded into rejected_by_code — re-deliveries don't recount
     # (incremental DLQ accounting, VERDICT r2 #3).
     dlq_corrupt_lsns: list = field(default_factory=list)
+    # Retained commit history (ordered, oldest first): one LWW'd delta
+    # snapshot per committed micro-batch, living under part=<p>/history/.
+    # Only written when the lake was created with retain_history=True;
+    # the basis for the change-data-feed and as-of-LSN time travel.
+    history: list = field(default_factory=list)
 
 
 @dataclass
@@ -67,6 +72,11 @@ class TableMeta:
     key_columns: tuple = ('repo', 'path')
     lsn_column: str = 'lsn'
     version: int = 1
+    # Whether every commit retains its delta snapshot under history/
+    # (enables changes()/table_as_of()). Fixed at lake creation: a lake
+    # that ever compacted without retention has holes no later flag flip
+    # can fill.
+    retain_history: bool = False
 
 
 class ManifestStore:
@@ -111,6 +121,31 @@ class ManifestStore:
 
     def delta_path(self, pid: int, name: str) -> str:
         return os.path.join(self.partition_dir(pid), name)
+
+    def history_dir(self, pid: int) -> str:
+        return os.path.join(self.partition_dir(pid), 'history')
+
+    def history_path(self, pid: int, name: str) -> str:
+        return os.path.join(self.history_dir(pid), name)
+
+    def retain_to_history(self, pid: int, src_path: str, name: str) -> None:
+        """Publish an immutable snapshot copy of ``src_path`` into the
+        partition's history as ``name``, leaving the source in place
+        (the active file must stay valid until the manifest commits).
+        Hardlink when possible (parquet files are immutable here), byte
+        copy otherwise; idempotent under retry."""
+        os.makedirs(self.history_dir(pid), exist_ok=True)
+        dst = self.history_path(pid, name)
+        if os.path.exists(dst):
+            return
+        tmp = f'{dst}.tmp-{uuid.uuid4().hex[:8]}'
+        try:
+            os.link(src_path, tmp)
+        except OSError:
+            import shutil
+
+            shutil.copyfile(src_path, tmp)
+        os.replace(tmp, dst)
 
     def clean_orphan_deltas(self, pid: int, active: list) -> None:
         """Remove delta files not listed in the committed manifest (crash
