@@ -1649,6 +1649,64 @@ WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def events_cdc_changes(sf_dir: str):
+    """Change-data-feed, ORACLE-CHECKABLE: the events change log is
+    ingested into a retained-history lake in TWO commits split at
+    ``max(lsn) // 2``, then ``changes(since_lsn=cut)`` returns the
+    second commit's feed — per-key winners of that window, tombstones
+    (op='delete') included. EVENTS_CDC_CHANGES_SQL computes the same
+    rows analytically (row_number over the window's events)."""
+    import hashlib
+    import tempfile
+
+    from .cdc import CDCPipeline
+
+    ds = _read(sf_dir, 'events', columns=['event_id', 'user_id', 'event_type']) \
+        .map_batches(_events_to_change_log, batch_format='pyarrow')
+    cut = ds.max('lsn') // 2
+
+    lake = tempfile.mkdtemp(prefix='cdc_lake_changes_')
+    pipeline = CDCPipeline(lake, num_partitions=16, retain_history=True)
+    pipeline.run(ds.filter(expr=f'lsn <= {cut}'))
+    pipeline.run(ds.filter(expr=f'lsn > {cut}'))
+
+    feed = pipeline.changes(since_lsn=cut)
+    return pa.table({
+        'repo': feed.column('repo'),
+        'path': feed.column('path'),
+        'op': feed.column('op'),
+        'last_lsn': feed.column('last_lsn'),
+        'content_sha': pa.array([
+            hashlib.sha256(
+                c if isinstance(c, bytes) else (c or '').encode()
+            ).hexdigest()
+            for c in feed.column('content').to_pylist()
+        ]),
+    })
+
+
+EVENTS_CDC_CHANGES_SQL = """
+WITH log AS (
+    SELECT event_id AS lsn,
+           CASE WHEN event_type = 'purchase' THEN 'delete' ELSE 'update' END AS op,
+           'tenant-' || CAST(user_id % 5 AS VARCHAR) AS repo,
+           'u/' || CAST(user_id AS VARCHAR) AS path,
+           event_type || ':' || CAST(event_id AS VARCHAR) AS content
+    FROM events
+),
+second AS (
+    SELECT * FROM log WHERE lsn > (SELECT max(lsn) // 2 FROM log)
+),
+last AS (
+    SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+    FROM second
+)
+SELECT repo, path, op, lsn AS last_lsn, sha256(content) AS content_sha
+FROM last
+WHERE rn = 1
+"""
+
+
 def cdc_upsert_demo(sf_dir: str):
     """The flagship CDC pipeline over the deterministic synthetic log
     (own fixture — op/lsn structure the generic tables lack). Scale is
@@ -2175,6 +2233,7 @@ QUERIES = {
     'embeddings_label_centroids': (embeddings_label_centroids, EMB_LABEL_SQL),
     'events_cdc_upsert': (events_cdc_upsert, EVENTS_CDC_SQL),
     'cdc_lake_repo_stats': (cdc_lake_repo_stats, CDC_LAKE_STATS_SQL),
+    'events_cdc_changes': (events_cdc_changes, EVENTS_CDC_CHANGES_SQL),
     'docs_lang_id': (docs_lang_id, DOCS_LANG_ID_SQL),
     'docs_quality': (docs_quality, DOCS_QUALITY_SQL),
     'docs_pii_scrub': (docs_pii_scrub, DOCS_PII_SQL),
