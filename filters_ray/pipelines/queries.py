@@ -60,9 +60,28 @@ def _bucket_count(rows: int, target_rows: int = 131072, floor: int = 64) -> int:
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    """Pruned parquet read with a metadata-FREE explicit schema: passing
+    the footer schema stripped of pandas metadata keeps every read block's
+    schema hashable at the source (no "Failed to hash the schemas" on the
+    read op itself — the _strip_meta map stage only cleaned blocks one
+    hop too late)."""
+    import os
+
+    import pyarrow.parquet as pq
     import ray.data as rd
-    return rd.read_parquet(f'{sf_dir}/{table}.parquet', columns=columns) \
-        .map_batches(_strip_meta, batch_format='pyarrow', zero_copy_batch=True)
+
+    path = f'{sf_dir}/{table}.parquet'
+    sp = path
+    if os.path.isdir(path):
+        sp = os.path.join(path, sorted(
+            f for f in os.listdir(path) if f.endswith('.parquet'))[0])
+    schema = pq.read_schema(sp)
+    fields = [
+        schema.field(c).remove_metadata()
+        for c in (columns if columns is not None else schema.names)
+    ]
+    return rd.read_parquet(
+        path, columns=columns, schema=pa.schema(fields))
 
 
 def _round4(x):
