@@ -873,6 +873,51 @@ FROM events
 """
 
 
+def events_user_journey(sf_dir: str):
+    """Grouped ordered-LIST aggregation (SQL string_agg ... ORDER BY /
+    collect_list): per user, the '>'-joined sequence of their first 5
+    event types by (ts, event_id), plus their total event count. Shape:
+    hash-bucketed `map_groups` (one exchange, O(buckets) group calls);
+    within a bucket ONE vectorized sort + pandas grouped head/join —
+    no per-user Python loop."""
+    ds = _read(sf_dir, 'events', columns=[
+        'user_id', 'ts', 'event_id', 'event_type',
+    ])
+    nb = _bucket_count(_parquet_rows(sf_dir, 'events'))
+
+    def journeys(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(['user_id', 'ts', 'event_id'])
+        counts = g.groupby('user_id', sort=False)['event_type'].size()
+        head = g.groupby('user_id', sort=False).head(5)
+        j = head.groupby('user_id', sort=False)['event_type'].agg('>'.join)
+        return _from_pandas(pd.DataFrame({
+            'user_id': j.index.to_numpy(),
+            'journey': j.to_numpy(),
+            'n_events': counts.loc[j.index].to_numpy().astype(np.int64),
+        }))
+
+    return _bucket_by_user(ds, nb).groupby('_b').map_groups(
+        journeys, batch_format='pandas',
+    ).select_columns(['user_id', 'journey', 'n_events'])
+
+
+EVENTS_JOURNEY_SQL = """
+WITH ranked AS (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n_events
+    FROM events
+)
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY rn) AS journey,
+       max(n_events) AS n_events
+FROM ranked
+WHERE rn <= 5
+GROUP BY user_id
+"""
+
+
 def events_distinct_types(sf_dir: str):
     """Distinct values of one column (``Dataset.unique`` — a shuffle)."""
     ds = _read(sf_dir, 'events', columns=['event_type'])
@@ -2238,6 +2283,7 @@ QUERIES = {
     'lineitem_rollup_counts': (lineitem_rollup_counts, LINEITEM_ROLLUP_SQL),
     'revenue_by_nation_asia': (revenue_by_nation_asia, REVENUE_BY_NATION_SQL),
     'events_distinct_types': (events_distinct_types, EVENTS_DISTINCT_SQL),
+    'events_user_journey': (events_user_journey, EVENTS_JOURNEY_SQL),
     'orders_union_halves': (orders_union_halves, ORDERS_UNION_SQL),
     'customer_nation_lookup': (customer_nation_lookup, CUSTOMER_NATION_SQL),
     'events_hourly_window': (events_hourly_window, EVENTS_HOURLY_SQL),
