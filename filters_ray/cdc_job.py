@@ -3,11 +3,18 @@
 Usage::
 
     python -m filters_ray.cdc_job --events /path/to/event_parquet_dir \\
-        --lake /path/to/lake [--partitions 1024] [--num-cpus 32]
+        --lake /path/to/lake [--partitions 1024] [--num-cpus 32] \\
+        [--retain-history] [--tail]
 
-Prints the run report as one JSON line. Owns its Ray session (guarded —
-safe under an already-initialised cluster driver too, where it simply
-joins the existing session).
+    # ops reads on an existing retained-history lake (no ingest):
+    python -m filters_ray.cdc_job --lake /path/to/lake \\
+        --changes-since 1000 [--changes-until 2000] [--out feed.parquet]
+    python -m filters_ray.cdc_job --lake /path/to/lake --as-of 1500 \\
+        [--out snapshot.parquet]
+
+Prints the run report (or read summary) as one JSON line. Owns its Ray
+session (guarded — safe under an already-initialised cluster driver too,
+where it simply joins the existing session).
 """
 
 from __future__ import annotations
@@ -20,8 +27,8 @@ from dataclasses import asdict
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description='CDC ingest+upsert job')
-    parser.add_argument('--events', required=True,
-                        help='parquet file/dir of change events')
+    parser.add_argument('--events',
+                        help='parquet file/dir of change events (ingest mode)')
     parser.add_argument('--lake', required=True, help='lake table root')
     parser.add_argument('--partitions', type=int, default=256,
                         help='hash partition count (pinned at lake creation)')
@@ -30,6 +37,12 @@ def main(argv=None) -> int:
                         help='only used when this process owns ray.init')
     parser.add_argument('--strict-langs', nargs='*', default=None,
                         help='allowed lang values (default: built-in set)')
+    parser.add_argument('--compact-every', type=int, default=8,
+                        help='compact a partition after this many deltas')
+    parser.add_argument('--retain-history', action='store_true',
+                        help='keep per-commit delta snapshots (enables '
+                             '--changes-since / --as-of; pinned at lake '
+                             'creation)')
     parser.add_argument('--tail', action='store_true',
                         help='continuously ingest new parquet files '
                              'appearing under --events')
@@ -37,7 +50,20 @@ def main(argv=None) -> int:
     parser.add_argument('--idle-timeout', type=float, default=None,
                         help='stop tailing after this many idle seconds')
     parser.add_argument('--max-batches', type=int, default=None)
+    parser.add_argument('--changes-since', type=int, default=None,
+                        help='read mode: change-data-feed rows with '
+                             'lsn > this value')
+    parser.add_argument('--changes-until', type=int, default=None)
+    parser.add_argument('--as-of', type=int, default=None,
+                        help='read mode: snapshot of the table as of LSN')
+    parser.add_argument('--out', default=None,
+                        help='write read-mode result to this parquet path')
     args = parser.parse_args(argv)
+
+    read_mode = args.changes_since is not None or args.as_of is not None
+    if not read_mode and not args.events:
+        parser.error('--events is required unless using --changes-since '
+                     'or --as-of')
 
     import ray
 
@@ -56,7 +82,29 @@ def main(argv=None) -> int:
             num_partitions=args.partitions,
             langs=args.strict_langs,
             batch_size=args.batch_size,
+            compact_every=args.compact_every,
+            retain_history=args.retain_history,
         )
+        if read_mode:
+            import pyarrow.parquet as pq
+
+            if args.as_of is not None:
+                table = pipeline.table_as_of(args.as_of)
+                kind = 'as_of'
+            else:
+                table = pipeline.changes(
+                    since_lsn=args.changes_since,
+                    until_lsn=args.changes_until,
+                )
+                kind = 'changes'
+            if args.out:
+                pq.write_table(table, args.out)
+            print(json.dumps({
+                'mode': kind, 'rows': table.num_rows,
+                'columns': table.column_names,
+                'out': args.out,
+            }))
+            return 0
         if args.tail:
             report = pipeline.tail(
                 args.events,

@@ -873,6 +873,50 @@ FROM events
 """
 
 
+_EVENT_TYPES = ('click', 'error', 'purchase', 'signup', 'view')
+
+
+def events_type_pivot(sf_dir: str):
+    """PIVOT / conditional aggregation: one row per user with a count
+    column per event type plus the total. Per-batch crosstab partials
+    (≤ users × types rows) reach a small keyed exchange — the classic
+    pre-aggregated pivot, never a row-level shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, 'events', columns=['user_id', 'event_type'])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        ct = pd.crosstab(df['user_id'], df['event_type'])
+        ct = ct.reindex(columns=list(_EVENT_TYPES), fill_value=0)
+        ct.columns = [f'n_{t}' for t in _EVENT_TYPES]
+        return _from_pandas(ct.astype(np.int64).reset_index())
+
+    aggs = [Sum(f'n_{t}', alias_name=f'n_{t}') for t in _EVENT_TYPES]
+    out = ds.map_batches(partial, batch_format='pandas') \
+        .groupby('user_id').aggregate(*aggs)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        total = np.zeros(batch.num_rows, dtype=np.int64)
+        for t in _EVENT_TYPES:
+            total += batch.column(f'n_{t}').to_numpy(zero_copy_only=False)
+        return batch.append_column('n_total', pa.array(total))
+
+    return out.map_batches(finish, batch_format='pyarrow')
+
+
+EVENTS_PIVOT_SQL = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+       count(*) FILTER (WHERE event_type = 'error') AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view') AS n_view,
+       count(*) AS n_total
+FROM events
+GROUP BY user_id
+"""
+
+
 def events_user_journey(sf_dir: str):
     """Grouped ordered-LIST aggregation (SQL string_agg ... ORDER BY /
     collect_list): per user, the '>'-joined sequence of their first 5
@@ -2235,6 +2279,69 @@ GROUP BY n.n_name
 """
 
 
+def lineitem_hot_suppliers(sf_dir: str):
+    """EXACT heavy hitters in two passes — the scale pattern behind
+    skew-aware salting: pass 1 is a Misra-Gries sketch (fixed-size
+    mergeable per-block summaries; guaranteed SUPERSET of every key above
+    n/(capacity+1)), pass 2 exact-counts only the candidates (an `is_in`
+    pruned aggregation over ≤capacity keys), then applies the real
+    threshold. Result is exact — hence SQL-oracled — while neither pass
+    ever aggregates the full key domain. Skew is PLANTED deterministically
+    (two hot suppliers at ~20%/~11%) because the fixture keys are uniform;
+    the CASE is mirrored verbatim in the SQL."""
+    from ..stages.heavyhitters import heavy_hitters
+
+    threshold = 0.05
+
+    def plant(batch: pa.Table) -> pa.Table:
+        okey = batch.column('l_orderkey').combine_chunks().to_numpy()
+        skey = batch.column('l_suppkey').combine_chunks() \
+            .to_numpy(zero_copy_only=False).copy()
+        skey[okey % 7 == 0] = 13
+        skey[okey % 5 == 0] = 7
+        return pa.table({'skey': pa.array(skey.astype(np.int64))})
+
+    def planted(columns=('l_orderkey', 'l_suppkey')):
+        return _read(sf_dir, 'lineitem', columns=list(columns)) \
+            .map_batches(plant, batch_format='pyarrow')
+
+    total = _parquet_rows(sf_dir, 'lineitem')
+    # Pass 1: candidates (superset guarantee needs n/(cap+1) < threshold).
+    report = heavy_hitters(planted(), 'skey', capacity=64)
+    candidates = [int(k) for k in report['key']]
+
+    # Pass 2: exact counts of the candidates only.
+    cand_arr = pa.array(sorted(candidates), type=pa.int64())
+
+    def keep_candidates(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column('skey'),
+                                     value_set=cand_arr))
+
+    from ray.data.aggregate import Count
+
+    counts = planted().map_batches(keep_candidates, batch_format='pyarrow') \
+        .groupby('skey').aggregate(Count(alias_name='n')).to_pandas()
+    hot = counts[counts['n'] >= threshold * total]
+    return pd.DataFrame({
+        'l_suppkey': hot['skey'].to_numpy(dtype=np.int64),
+        'n': hot['n'].to_numpy(dtype=np.int64),
+    })
+
+
+LINEITEM_HOT_SUPPLIERS_SQL = """
+WITH planted AS (
+    SELECT CASE WHEN l_orderkey % 5 = 0 THEN 7
+                WHEN l_orderkey % 7 = 0 THEN 13
+                ELSE l_suppkey END AS l_suppkey
+    FROM lineitem
+)
+SELECT l_suppkey, count(*) AS n
+FROM planted
+GROUP BY l_suppkey
+HAVING count(*) >= 0.05 * (SELECT count(*) FROM lineitem)
+"""
+
+
 def events_hll_users(sf_dir: str):
     """Approximate COUNT(DISTINCT user_id) via the HyperLogLog sketch
     stage (stages/sketch.py) — only 16 KiB per block reaches the
@@ -2284,6 +2391,8 @@ QUERIES = {
     'revenue_by_nation_asia': (revenue_by_nation_asia, REVENUE_BY_NATION_SQL),
     'events_distinct_types': (events_distinct_types, EVENTS_DISTINCT_SQL),
     'events_user_journey': (events_user_journey, EVENTS_JOURNEY_SQL),
+    'events_type_pivot': (events_type_pivot, EVENTS_PIVOT_SQL),
+    'lineitem_hot_suppliers': (lineitem_hot_suppliers, LINEITEM_HOT_SUPPLIERS_SQL),
     'orders_union_halves': (orders_union_halves, ORDERS_UNION_SQL),
     'customer_nation_lookup': (customer_nation_lookup, CUSTOMER_NATION_SQL),
     'events_hourly_window': (events_hourly_window, EVENTS_HOURLY_SQL),

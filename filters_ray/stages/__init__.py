@@ -2,6 +2,7 @@
 
 from .bloom import BloomFilter, bloom_semi_filter, build_bloom
 from .cogroup import hash_bucket_join
+from .heavyhitters import heavy_hitters
 from .rangejoin import interval_join
 from .sketch import approx_distinct, hll_estimate, hll_merge, hll_sketch
 from .topk import grouped_top_k
@@ -22,6 +23,7 @@ __all__ = [
     'build_bloom',
     'grouped_top_k',
     'hash_bucket_join',
+    'heavy_hitters',
     'hll_estimate',
     'hll_merge',
     'hll_sketch',
