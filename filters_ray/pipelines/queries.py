@@ -873,6 +873,37 @@ FROM events
 """
 
 
+def events_running_total(sf_dir: str):
+    """CUMULATIVE window (sum OVER (PARTITION BY user ORDER BY ts)):
+    per-user running total of `value`, rounded. Bucketed `map_groups`
+    (one exchange), one vectorized sort + grouped cumsum per bucket."""
+    ds = _read(sf_dir, 'events', columns=[
+        'user_id', 'ts', 'event_id', 'value',
+    ])
+    nb = _bucket_count(_parquet_rows(sf_dir, 'events'))
+
+    def running(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(['user_id', 'ts', 'event_id'])
+        csum = g.groupby('user_id', sort=False)['value'].cumsum()
+        return _from_pandas(pd.DataFrame({
+            'event_id': g['event_id'].to_numpy(),
+            'user_id': g['user_id'].to_numpy(),
+            'running_value': np.round(csum.to_numpy(), 4),
+        }))
+
+    return _bucket_by_user(ds, nb).groupby('_b').map_groups(
+        running, batch_format='pandas',
+    ).select_columns(['event_id', 'user_id', 'running_value'])
+
+
+EVENTS_RUNNING_SQL = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id), 4) AS running_value
+FROM events
+"""
+
+
 _EVENT_TYPES = ('click', 'error', 'purchase', 'signup', 'view')
 
 
@@ -2393,6 +2424,7 @@ QUERIES = {
     'events_user_journey': (events_user_journey, EVENTS_JOURNEY_SQL),
     'events_type_pivot': (events_type_pivot, EVENTS_PIVOT_SQL),
     'lineitem_hot_suppliers': (lineitem_hot_suppliers, LINEITEM_HOT_SUPPLIERS_SQL),
+    'events_running_total': (events_running_total, EVENTS_RUNNING_SQL),
     'orders_union_halves': (orders_union_halves, ORDERS_UNION_SQL),
     'customer_nation_lookup': (customer_nation_lookup, CUSTOMER_NATION_SQL),
     'events_hourly_window': (events_hourly_window, EVENTS_HOURLY_SQL),

@@ -122,17 +122,28 @@ def _column_numpy(batch: pa.Table, column: str) -> np.ndarray:
     return col.to_numpy(zero_copy_only=False)
 
 
+MAX_BLOOM_BITS = 1 << 33  # 1 GiB bitmap cap — FPR degrades past the
+# sizing rule instead of the bitmap outgrowing worker/driver heaps.
+
+
 def build_bloom(ds, column: str, expected_keys: Optional[int] = None,
-                num_bits: Optional[int] = None,
-                num_hashes: int = 7) -> BloomFilter:
+                num_bits: Optional[int] = None, num_hashes: int = 7,
+                fanout: int = 8) -> BloomFilter:
     """Build a Bloom filter over ``ds[column]`` distributed: one packed
-    bitmap per block, OR-folded streaming on the driver (the only driver
-    bytes are `blocks × num_bits/8` — row count never matters). Null
-    keys are skipped (SQL semantics: a null key joins nothing)."""
+    bitmap per block, OR-folded in a REMOTE tree (fan-in ``fanout``) so
+    the driver receives exactly ONE bitmap regardless of block count —
+    at 10^4 blocks a driver-side fold would stream blocks × num_bits/8
+    bytes through the driver NIC. Null keys are skipped (SQL semantics:
+    a null key joins nothing). ``num_bits`` is capped at MAX_BLOOM_BITS:
+    past it the false-positive rate rises above the ~0.5% design point
+    rather than the bitmap exhausting memory."""
+    import ray
+
     if num_bits is None:
         if expected_keys is None:
             expected_keys = ds.count()
         num_bits = max(1024, expected_keys * 12)
+    num_bits = min(num_bits, MAX_BLOOM_BITS)
     proto = BloomFilter(num_bits, num_hashes)
     nb, nh = proto.num_bits, proto.num_hashes
 
@@ -147,11 +158,29 @@ def build_bloom(ds, column: str, expected_keys: Optional[int] = None,
         return pa.table({'words': pa.array([bf.words.tobytes()],
                                            type=pa.large_binary())})
 
+    @ray.remote
+    def or_fold(*tables) -> pa.Table:
+        acc = np.zeros(nb // 64, dtype=np.uint64)
+        for t in tables:
+            if isinstance(t, pa.Table):
+                for blob in t.column('words'):
+                    acc |= np.frombuffer(blob.as_py(), dtype=np.uint64)
+        return pa.table({'words': pa.array([acc.tobytes()],
+                                           type=pa.large_binary())})
+
+    refs = list(ds.map_batches(partial, batch_format='pyarrow')
+                .to_arrow_refs())
+    if not refs:
+        return BloomFilter(nb, nh)
+    while len(refs) > 1:
+        refs = [
+            or_fold.remote(*refs[i:i + fanout])
+            for i in range(0, len(refs), fanout)
+        ]
+    final = ray.get(refs[0])
     acc = np.zeros(nb // 64, dtype=np.uint64)
-    for part in ds.map_batches(partial, batch_format='pyarrow') \
-                  .iter_batches(batch_format='pyarrow'):
-        for blob in part.column('words'):
-            acc |= np.frombuffer(blob.as_py(), dtype=np.uint64)
+    for blob in final.column('words'):
+        acc |= np.frombuffer(blob.as_py(), dtype=np.uint64)
     return BloomFilter(nb, nh, acc)
 
 
