@@ -1578,6 +1578,61 @@ def docs_simhash_pairs(sf_dir: str):
                          pair_buckets=_bucket_count(rows))
 
 
+def docs_incremental_neardup(sf_dir: str):
+    """INCREMENTAL near-dup detection (the CDC-shaped dedup): the docs
+    corpus is indexed once into a persistent banded MinHash index; an
+    arriving "micro-batch" containing clones of every 10th doc (planted:
+    doc_id + 10^6, text + marker) is probed AGAINST THE INDEX ONLY —
+    no corpus rescan (probe reads just the band-buckets the batch
+    touches). Verified at Jaccard ≥ 0.85, projected to the planted pairs
+    (organic near-dups exist in this corpus; the planted set is the
+    deterministic, non-vacuous oracle — the embeddings_neardup
+    precedent)."""
+    import tempfile
+
+    from .dedup_index import MinHashIndex
+
+    ds = _read(sf_dir, 'documents', columns=['doc_id', 'text'])
+
+    def clones(batch: pa.Table) -> pa.Table:
+        ids = batch.column('doc_id').combine_chunks()
+        lens = pc.utf8_length(batch.column('text').combine_chunks()) \
+            .to_numpy(zero_copy_only=False)
+        # Plant only on docs long enough that a 2-char edit stays above
+        # the 0.85 Jaccard bar (byte-shingle similarity of a short doc
+        # collapses under ANY edit).
+        mask = (np.asarray(ids.to_numpy(zero_copy_only=False)) % 10 == 0) \
+            & (lens >= 100)
+        kept = batch.filter(pa.array(mask))
+        return pa.table({
+            'doc_id': pc.add(kept.column('doc_id'), 1_000_000),
+            'text': pc.binary_join_element_wise(
+                kept.column('text'), ' ~', ''),
+        })
+
+    probe = ds.map_batches(clones, batch_format='pyarrow')
+    index = MinHashIndex(tempfile.mkdtemp(prefix='mh_index_'),
+                         bands=8, num_perm=32, num_buckets=8)
+    index.add(ds)
+    texts = ds.union(probe)
+    pairs = index.probe(probe, verify_threshold=0.85, texts=texts)
+
+    def planted_only(batch: pa.Table) -> pa.Table:
+        diff = pc.subtract(batch.column('left'), batch.column('right'))
+        kept = batch.filter(pc.equal(diff, 1_000_000))
+        return pa.table({'left': kept.column('left'),
+                         'right': kept.column('right')})
+
+    return pairs.map_batches(planted_only, batch_format='pyarrow')
+
+
+DOCS_INCR_NEARDUP_SQL = """
+SELECT doc_id + 1000000 AS left, doc_id AS right
+FROM documents
+WHERE doc_id % 10 = 0 AND length(text) >= 100
+"""
+
+
 def embeddings_neardup_pairs(sf_dir: str):
     """Embedding-cosine near-dup detection over a corpus with PLANTED
     near-duplicates (VERDICT r1 #2 — the old threshold-0.99 run over
@@ -2449,6 +2504,7 @@ QUERIES = {
     'docs_minhash_pairs': (docs_minhash_pairs, None),
     'docs_simhash_pairs': (docs_simhash_pairs, None),
     'embeddings_neardup_pairs': (embeddings_neardup_pairs, EMB_NEARDUP_SQL),
+    'docs_incremental_neardup': (docs_incremental_neardup, DOCS_INCR_NEARDUP_SQL),
     'knn_ivf_top10': (knn_ivf_top10, KNN_SQL),
     'cdc_upsert_demo': (cdc_upsert_demo, None),
     'multimodal_decode_demo': (multimodal_decode_demo, MULTIMODAL_SQL),
