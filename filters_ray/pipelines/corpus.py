@@ -1,7 +1,8 @@
 """End-to-end training-corpus preparation: the ops composed.
 
-    read → quality-score filter → language filter → exact dedup →
-    MinHash near-dup removal → token counting → partitioned write
+    read → quality-score filter → language filter → PII scrub →
+    exact dedup → MinHash near-dup removal → token counting →
+    partitioned write
 
 Everything streams through Ray Data; the only wide operations are the
 two dedup groupbys. This is the "user of the reference could run their
@@ -15,8 +16,8 @@ from typing import Optional
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .dedup import exact_dedup, minhash_dedup
-from .text import add_quality_score, add_token_count
+from .dedup import _default_pool_size, exact_dedup, minhash_dedup
+from .text import PiiRedactStage, add_quality_score, add_token_count
 
 __all__ = ['prepare_corpus']
 
@@ -29,6 +30,7 @@ def prepare_corpus(
     languages: Optional[set] = None,
     lang_column: str = 'lang',
     near_dup_threshold: float = 0.8,
+    scrub_pii: bool = True,
     output_dir: Optional[str] = None,
     collect_stats: bool = True,
 ):
@@ -66,12 +68,25 @@ def prepare_corpus(
     if collect_stats:
         stats['after_gates'] = ds.count()
 
-    # 3. Exact dedup (hash partition + per-group first).
+    # 3. PII scrub (actor pool, vectorized RE2 — redaction BEFORE dedup
+    #    so redacted twins of differently-PII'd texts deduplicate).
+    if scrub_pii:
+        ds = ds.map_batches(
+            PiiRedactStage, fn_constructor_kwargs={'column': text_column},
+            batch_format='pyarrow', concurrency=_default_pool_size(),
+        ).map_batches(
+            lambda b: b.drop_columns(
+                [c for c in b.column_names if c.startswith('n_')
+                 and c[2:] in ('email', 'ipv4', 'phone', 'ssn')]),
+            batch_format='pyarrow',
+        )
+
+    # 4. Exact dedup (hash partition + per-group first).
     ds = exact_dedup(ds, column=text_column, key=key)
     if collect_stats:
         stats['after_exact_dedup'] = ds.count()
 
-    # 4. Near-dup removal (MinHash-LSH + Jaccard verify + components).
+    # 5. Near-dup removal (MinHash-LSH + Jaccard verify + components).
     ds, clusters = minhash_dedup(
         ds, column=text_column, key=key, threshold=near_dup_threshold,
     )
@@ -79,7 +94,7 @@ def prepare_corpus(
     if collect_stats:
         stats['after_near_dedup'] = ds.count()
 
-    # 5. Token counting (training-budget accounting).
+    # 6. Token counting (training-budget accounting).
     ds = ds.map_batches(
         lambda b: add_token_count(b, text_column), batch_format='pyarrow',
     )
