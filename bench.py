@@ -148,6 +148,10 @@ QUERY_SUBSET = [
     'docs_lang_id',
     'revenue_by_nation_asia',
     'events_hll_users',
+    'docs_pii_scrub',
+    'events_cdc_changes',
+    'events_type_pivot',
+    'lineitem_hot_suppliers',
 ]
 
 

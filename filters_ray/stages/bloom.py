@@ -162,7 +162,9 @@ def build_bloom(ds, column: str, expected_keys: Optional[int] = None,
     def or_fold(*tables) -> pa.Table:
         acc = np.zeros(nb // 64, dtype=np.uint64)
         for t in tables:
-            if isinstance(t, pa.Table):
+            # Skip empty/schema-less blocks (an empty upstream block maps
+            # to an empty output block, not a 1-row bitmap).
+            if isinstance(t, pa.Table) and 'words' in t.column_names:
                 for blob in t.column('words'):
                     acc |= np.frombuffer(blob.as_py(), dtype=np.uint64)
         return pa.table({'words': pa.array([acc.tobytes()],
@@ -179,8 +181,9 @@ def build_bloom(ds, column: str, expected_keys: Optional[int] = None,
         ]
     final = ray.get(refs[0])
     acc = np.zeros(nb // 64, dtype=np.uint64)
-    for blob in final.column('words'):
-        acc |= np.frombuffer(blob.as_py(), dtype=np.uint64)
+    if isinstance(final, pa.Table) and 'words' in final.column_names:
+        for blob in final.column('words'):
+            acc |= np.frombuffer(blob.as_py(), dtype=np.uint64)
     return BloomFilter(nb, nh, acc)
 
 
