@@ -1031,6 +1031,61 @@ SELECT o_orderstatus, count(*) AS n FROM (
 """
 
 
+def customers_intersect_except(sf_dir: str):
+    """INTERSECT / EXCEPT set ops: customer nations present among BOTH
+    a 30-customer slice and the rest (intersect) and only among the
+    rest (except), one row per nation key with the op label. Shape: per-half
+    per-batch distinct partials → ONE small groupby carrying presence
+    flags — set ops as a flag-aggregation, never a row-level shuffle."""
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, 'customer', columns=['c_custkey', 'c_nationkey'])
+    cut = 30  # a 30-customer slice misses some nations ⇒ both set ops
+    # produce non-empty, scale-stable results.
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ck = batch.column('c_custkey').combine_chunks().to_numpy()
+        nk = batch.column('c_nationkey').combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = np.unique(nk[ck < cut])
+        hi = np.unique(nk[ck >= cut])
+        return pa.table({
+            'nation': pa.array(np.concatenate([lo, hi])),
+            'in_low': pa.array(np.concatenate([
+                np.ones(len(lo), dtype=np.int64),
+                np.zeros(len(hi), dtype=np.int64)])),
+            'in_high': pa.array(np.concatenate([
+                np.zeros(len(lo), dtype=np.int64),
+                np.ones(len(hi), dtype=np.int64)])),
+        })
+
+    flags = ds.map_batches(tag, batch_format='pyarrow') \
+        .groupby('nation').aggregate(
+            Max('in_low', alias_name='in_low'),
+            Max('in_high', alias_name='in_high'),
+        ).to_pandas()
+    both = flags[(flags['in_low'] == 1) & (flags['in_high'] == 1)]
+    only_high = flags[(flags['in_high'] == 1) & (flags['in_low'] == 0)]
+    out = pd.concat([
+        pd.DataFrame({'nation': both['nation'], 'setop': 'intersect'}),
+        pd.DataFrame({'nation': only_high['nation'], 'setop': 'except'}),
+    ], ignore_index=True)
+    return out.sort_values(['setop', 'nation'], ignore_index=True)
+
+
+CUSTOMERS_SETOPS_SQL = """
+WITH lo AS (SELECT DISTINCT c_nationkey AS nation FROM customer
+            WHERE c_custkey < 30),
+hi AS (SELECT DISTINCT c_nationkey AS nation FROM customer
+       WHERE c_custkey >= 30)
+SELECT CAST(nation AS BIGINT) AS nation, 'intersect' AS setop
+FROM (SELECT nation FROM lo INTERSECT SELECT nation FROM hi)
+UNION ALL
+SELECT CAST(nation AS BIGINT) AS nation, 'except' AS setop
+FROM (SELECT nation FROM hi EXCEPT SELECT nation FROM lo)
+"""
+
+
 def customer_nation_lookup(sf_dir: str):
     """The Lookup filter (broadcast dimension join) inside a chain:
     c_nationkey → nation name, rejecting unknown keys."""
@@ -2481,6 +2536,9 @@ QUERIES = {
     'lineitem_hot_suppliers': (lineitem_hot_suppliers, LINEITEM_HOT_SUPPLIERS_SQL),
     'events_running_total': (events_running_total, EVENTS_RUNNING_SQL),
     'orders_union_halves': (orders_union_halves, ORDERS_UNION_SQL),
+    'customers_intersect_except': (
+        customers_intersect_except, CUSTOMERS_SETOPS_SQL,
+    ),
     'customer_nation_lookup': (customer_nation_lookup, CUSTOMER_NATION_SQL),
     'events_hourly_window': (events_hourly_window, EVENTS_HOURLY_SQL),
     'events_type_stats': (events_type_stats, EVENTS_TYPE_SQL),
