@@ -1149,9 +1149,15 @@ class CDCPipeline:
             report.merge_row(row)
         return report
 
-    def as_dataset(self):
+    def as_dataset(self, columns: Optional[List[str]] = None):
         """The lake as a streaming ``ray.data.Dataset`` (the reader a
         downstream pipeline composes with; no driver materialization).
+
+        ``columns`` prunes the read: base/delta files are read with only
+        the requested columns (plus, on the merge path, the LWW key
+        columns the merge itself needs — dropped again before return).
+        A downstream 2-column transform must not lift the content bytes
+        off disk.
 
         Fast path: with no active deltas anywhere (fresh single-run lake,
         or post-compaction) this is a plain streaming ``read_parquet`` of
@@ -1173,7 +1179,7 @@ class CDCPipeline:
             ]
             if not paths:
                 return rd.from_arrow(pa.table({}))
-            return rd.read_parquet(paths)
+            return rd.read_parquet(paths, columns=columns)
 
         lake_root = self.lake_root
         pids = [
@@ -1183,13 +1189,23 @@ class CDCPipeline:
         if not pids:
             return rd.from_arrow(pa.table({}))
 
+        read_cols = None
+        if columns is not None:
+            read_cols = list(dict.fromkeys(
+                list(columns) + list(_MERGE_KEY_COLUMNS)))
+
         def read_merged(batch: pa.Table) -> pa.Table:
             store = ManifestStore(lake_root)
             out = []
             for pid in batch.column('pid').to_pylist():
-                tables = _read_partition_tables(store, pid, store.read_manifest(pid))
+                tables = _read_partition_tables(
+                    store, pid, store.read_manifest(pid), columns=read_cols)
                 if tables:
-                    out.append(_merge_partition_tables(tables))
+                    merged = _merge_partition_tables(tables)
+                    if columns is not None:
+                        merged = merged.select(
+                            [c for c in columns if c in merged.column_names])
+                    out.append(merged)
             if not out:
                 return pa.table({})
             schema = out[0].schema

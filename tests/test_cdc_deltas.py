@@ -194,3 +194,36 @@ def test_dlq_accounting_does_not_rescan_history(tmp_path):
         pipeline.run(rd.from_arrow(log))
     assert pipeline.rejection_counts() == {'not_valid_choice': n_runs}
     assert pipeline.final_table().num_rows == n_runs
+
+
+@pytest.mark.usefixtures('ray_session')
+def test_as_dataset_column_pruning(tmp_path):
+    """as_dataset(columns=...) returns exactly the requested columns on
+    both the fast (base-only) and merge-on-read (deltas) paths, with the
+    same rows as final_table."""
+    import ray.data as rd
+
+    cfg = SynthConfig(n_keys=40, n_events=400, n_repos=4, seed=37)
+    log = make_events(cfg)
+    chunks = _split_log(log, 2)
+
+    # Fast path: single run, no deltas.
+    lake1 = CDCPipeline(str(tmp_path / 'one'), num_partitions=4)
+    lake1.run(rd.from_arrow(log))
+    pruned = lake1.as_dataset(columns=['repo', 'last_lsn'])
+    t = pruned.to_pandas()
+    assert sorted(t.columns) == ['last_lsn', 'repo']
+    assert len(t) == lake1.final_table().num_rows
+
+    # Merge-on-read path: two runs leave active deltas.
+    lake2 = CDCPipeline(str(tmp_path / 'two'), num_partitions=4,
+                        compact_every=8)
+    lake2.run(rd.from_arrow(chunks[0]))
+    lake2.run(rd.from_arrow(chunks[1]))
+    assert any(m.deltas for m in lake2.store.all_manifests().values())
+    t2 = lake2.as_dataset(columns=['repo', 'last_lsn']).to_pandas()
+    assert sorted(t2.columns) == ['last_lsn', 'repo']
+    final = lake2.final_table()
+    assert len(t2) == final.num_rows
+    assert sorted(t2['last_lsn']) == sorted(
+        final.column('last_lsn').to_pylist())
