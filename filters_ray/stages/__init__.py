@@ -3,6 +3,7 @@
 from .bloom import BloomFilter, bloom_semi_filter, build_bloom
 from .cogroup import hash_bucket_join
 from .heavyhitters import heavy_hitters
+from .joinplan import auto_join, broadcast_join
 from .rangejoin import interval_join
 from .sketch import approx_distinct, hll_estimate, hll_merge, hll_sketch
 from .topk import grouped_top_k
@@ -19,6 +20,8 @@ __all__ = [
     'BloomFilter',
     'ERRORS_COLUMN',
     'approx_distinct',
+    'auto_join',
+    'broadcast_join',
     'bloom_semi_filter',
     'build_bloom',
     'grouped_top_k',
