@@ -26,11 +26,19 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from .codecs import decode_bmp, decode_ppm, decode_wav, sniff_format
+from .codecs import (
+    decode_bmp,
+    decode_ppm,
+    decode_wav,
+    encode_bmp,
+    encode_ppm,
+    sniff_format,
+)
 
 __all__ = [
     'DecodeImageStage',
     'AudioFeatureStage',
+    'ResizeImageStage',
     'VideoFrameSampleStage',
     'media_table_schema',
 ]
@@ -141,6 +149,75 @@ class DecodeImageStage:
             pa.array([f.tolist() for f in features], type=pa.list_(pa.float32())),
         )
         return out
+
+
+class ResizeImageStage:
+    """payload → RESIZED payload (real pixels for BMP/PPM/PGM).
+
+    Nearest-neighbor resample via one numpy index grid per image (no
+    Python pixel loop), re-encoded in the SOURCE container so the
+    resized payload round-trips through the same decoders. Compressed
+    formats (no PIL in this container) raise with ``strict=True`` or
+    pass through untouched with a ``resized=false`` flag — the honest
+    stub contract: plumbing (schema, batch flow, output layout) is real
+    and tested, the missing codec is declared.
+    """
+
+    def __init__(self, target_size: int = 64, strict: bool = False) -> None:
+        self.target_size = target_size
+        self.strict = strict
+
+    def _resize(self, gray: np.ndarray) -> np.ndarray:
+        t = self.target_size
+        h, w = gray.shape
+        rows = np.minimum((np.arange(t) * h) // t, h - 1)
+        cols = np.minimum((np.arange(t) * w) // t, w - 1)
+        return gray[rows[:, None], cols[None, :]]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column('payload').to_pylist()
+        out_payload, out_w, out_h, out_flag = [], [], [], []
+        for payload in payloads:
+            payload = payload or b''
+            kind = sniff_format(payload)
+            try:
+                if kind == 'bmp':
+                    _, _, gray = decode_bmp(payload)
+                    small = self._resize(gray)
+                    out_payload.append(encode_bmp(small))
+                elif kind == 'ppm':
+                    _, _, gray = decode_ppm(payload)
+                    small = self._resize(gray)
+                    out_payload.append(encode_ppm(small))
+                else:
+                    if self.strict:
+                        raise NotImplementedError(
+                            'compressed-image resize requires PIL, not in '
+                            'this container (BMP/PPM resize natively)',
+                        )
+                    out_payload.append(payload)
+                    out_w.append(-1)
+                    out_h.append(-1)
+                    out_flag.append(False)
+                    continue
+            except ValueError:
+                if self.strict:
+                    raise
+                out_payload.append(payload)
+                out_w.append(-1)
+                out_h.append(-1)
+                out_flag.append(False)
+                continue
+            out_w.append(self.target_size)
+            out_h.append(self.target_size)
+            out_flag.append(True)
+        out = batch.set_column(
+            batch.column_names.index('payload'), 'payload',
+            pa.array(out_payload, type=batch.column('payload').type),
+        )
+        out = out.append_column('resized_width', pa.array(out_w, type=pa.int32()))
+        out = out.append_column('resized_height', pa.array(out_h, type=pa.int32()))
+        return out.append_column('resized', pa.array(out_flag, type=pa.bool_()))
 
 
 class AudioFeatureStage:

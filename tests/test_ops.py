@@ -544,3 +544,35 @@ def test_pii_redact_stage():
     inplace = PiiRedactStage('text')(t)
     assert inplace.column('text').to_pylist()[0] == 'mail me at <EMAIL> thanks'
     assert 'scrubbed' not in inplace.column_names
+
+
+def test_resize_image_stage_real_bmp():
+    from filters_ray.pipelines.codecs import decode_bmp, encode_bmp
+    from filters_ray.pipelines.multimodal import ResizeImageStage
+
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, size=(48, 32)).astype(np.uint8)
+    t = pa.table({
+        'media_id': pa.array([1], type=pa.int64()),
+        'payload': pa.array([encode_bmp(gray)], type=pa.binary()),
+    })
+    out = ResizeImageStage(target_size=16)(t)
+    assert out.column('resized').to_pylist() == [True]
+    w, h, small = decode_bmp(out.column('payload')[0].as_py())
+    assert (w, h) == (16, 16)
+    # Nearest-neighbor: corner pixels survive exactly.
+    assert small[0, 0] == gray[0, 0]
+
+
+def test_resize_image_stage_unknown_format_passthrough_and_strict():
+    from filters_ray.pipelines.multimodal import ResizeImageStage
+
+    t = pa.table({
+        'media_id': pa.array([1], type=pa.int64()),
+        'payload': pa.array([b'\x89PNG fake'], type=pa.binary()),
+    })
+    out = ResizeImageStage(target_size=16)(t)
+    assert out.column('resized').to_pylist() == [False]
+    assert out.column('payload').to_pylist() == [b'\x89PNG fake']
+    with pytest.raises(NotImplementedError):
+        ResizeImageStage(target_size=16, strict=True)(t)
