@@ -560,8 +560,9 @@ def test_resize_image_stage_real_bmp():
     assert out.column('resized').to_pylist() == [True]
     w, h, small = decode_bmp(out.column('payload')[0].as_py())
     assert (w, h) == (16, 16)
-    # Nearest-neighbor: corner pixels survive exactly.
-    assert small[0, 0] == gray[0, 0]
+    # Nearest-neighbor: corner pixels survive exactly (decoded gray is
+    # float in [0,1]; the source was uint8).
+    assert small[0, 0] == pytest.approx(gray[0, 0] / 255.0, abs=1e-6)
 
 
 def test_resize_image_stage_unknown_format_passthrough_and_strict():
