@@ -473,6 +473,97 @@ ORDER BY n_nationkey
 """
 
 
+def region_nation_matrix(sf_dir: str):
+    """CROSS JOIN: every (region, nation) combination with a same-region
+    flag. Tiny×tiny → broadcast the right side and expand per batch (a
+    cross product at scale is a broadcast nested loop, never a
+    shuffle)."""
+    import ray
+
+    from ..stages.joinplan import broadcast_join
+
+    region = _read(sf_dir, 'region', columns=['r_regionkey', 'r_name'])
+    nation_t = pa.concat_tables(list(
+        _read(sf_dir, 'nation', columns=['n_name', 'n_regionkey'])
+        .map_batches(
+            lambda b: b.append_column(
+                '_one', pa.array(np.ones(b.num_rows, dtype=np.int64))),
+            batch_format='pyarrow',
+        ).iter_batches(batch_format='pyarrow')))
+
+    tagged = region.map_batches(
+        lambda b: b.append_column(
+            '_one', pa.array(np.ones(b.num_rows, dtype=np.int64))),
+        batch_format='pyarrow',
+    )
+    crossed = broadcast_join(tagged, nation_t, '_one', '_one', how='inner')
+
+    def finish(batch: pa.Table) -> pa.Table:
+        same = pc.equal(batch.column('r_regionkey'),
+                        pc.cast(batch.column('n_regionkey'), pa.int64()))
+        return pa.table({
+            'r_name': batch.column('r_name'),
+            'n_name': batch.column('n_name'),
+            'same_region': pc.cast(same, pa.int64()),
+        })
+
+    return crossed.map_batches(finish, batch_format='pyarrow')
+
+
+REGION_NATION_MATRIX_SQL = """
+SELECT r.r_name, n.n_name,
+       CAST(CASE WHEN n.n_regionkey = r.r_regionkey THEN 1 ELSE 0 END
+            AS BIGINT) AS same_region
+FROM region r CROSS JOIN nation n
+"""
+
+
+def events_error_rate_alert(sf_dir: str):
+    """Windowed alerting (GROUP BY window HAVING rate above threshold):
+    hourly windows whose error fraction exceeds 19%. Vectorized bucket
+    column + per-batch partial counts → small keyed exchange."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, 'events', columns=['ts', 'event_type'])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column('ts').combine_chunks().to_numpy()
+        hour = ts.astype('datetime64[h]')
+        err = pc.equal(batch.column('event_type'), 'error') \
+            .combine_chunks().to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({'win': hour, 'is_err': err.astype(np.int64)})
+        g = df.groupby('win', sort=False).agg(
+            n=('is_err', 'size'), n_err=('is_err', 'sum')).reset_index()
+        return _from_pandas(g)
+
+    counts = ds.map_batches(partial, batch_format='pyarrow') \
+        .groupby('win').aggregate(
+            Sum('n', alias_name='n'), Sum('n_err', alias_name='n_err'),
+        ).to_pandas()
+    rate = counts['n_err'] / counts['n']
+    hot = counts[rate >= 0.19]
+    return pd.DataFrame({
+        'win': hot['win'],
+        'n': hot['n'].astype(np.int64),
+        'n_err': hot['n_err'].astype(np.int64),
+        'err_rate': np.round((hot['n_err'] / hot['n']).to_numpy(), 4),
+    }).sort_values('win', ignore_index=True)
+
+
+EVENTS_ALERT_SQL = """
+SELECT date_trunc('hour', ts) AS win,
+       count(*) AS n,
+       count(*) FILTER (WHERE event_type = 'error') AS n_err,
+       round(count(*) FILTER (WHERE event_type = 'error')
+             / CAST(count(*) AS DOUBLE), 4) AS err_rate
+FROM events
+GROUP BY 1
+HAVING count(*) FILTER (WHERE event_type = 'error')
+       / CAST(count(*) AS DOUBLE) >= 0.19
+ORDER BY win
+"""
+
+
 def orders_status_counts(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -2506,6 +2597,8 @@ QUERIES = {
     'orders_by_nation': (orders_by_nation, ORDERS_BY_NATION_SQL),
     'top10_orders_by_revenue': (top10_orders_by_revenue, TOP10_ORDERS_SQL),
     'nation_region_join': (nation_region_join, NATION_REGION_SQL),
+    'region_nation_matrix': (region_nation_matrix, REGION_NATION_MATRIX_SQL),
+    'events_error_rate_alert': (events_error_rate_alert, EVENTS_ALERT_SQL),
     'orders_customer_shuffle_join': (
         orders_customer_shuffle_join, ORDERS_CUSTOMER_JOIN_SQL,
     ),
