@@ -56,11 +56,15 @@ def main(argv=None) -> int:
     parser.add_argument('--changes-until', type=int, default=None)
     parser.add_argument('--as-of', type=int, default=None,
                         help='read mode: snapshot of the table as of LSN')
+    parser.add_argument('--report', action='store_true',
+                        help='read mode: print the lake ops report '
+                             '(manifest-only, no data reads)')
     parser.add_argument('--out', default=None,
                         help='write read-mode result to this parquet path')
     args = parser.parse_args(argv)
 
-    read_mode = args.changes_since is not None or args.as_of is not None
+    read_mode = (args.changes_since is not None
+                 or args.as_of is not None or args.report)
     if not read_mode and not args.events:
         parser.error('--events is required unless using --changes-since '
                      'or --as-of')
@@ -88,6 +92,9 @@ def main(argv=None) -> int:
         if read_mode:
             import pyarrow.parquet as pq
 
+            if args.report:
+                print(json.dumps(pipeline.lake_report(), sort_keys=True))
+                return 0
             if args.as_of is not None:
                 table = pipeline.table_as_of(args.as_of)
                 kind = 'as_of'

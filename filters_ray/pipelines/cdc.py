@@ -1246,3 +1246,34 @@ class CDCPipeline:
         return [
             asdict(m) for _, m in sorted(self.store.all_manifests().items())
         ]
+
+    def lake_report(self) -> dict:
+        """Ops summary of the whole lake from manifests alone (no data
+        files touched): totals, per-partition extremes (skew evidence),
+        delta/compaction and history state, cumulative rejections."""
+        manifests = self.store.all_manifests()
+        if not manifests:
+            return {'partitions': self.num_partitions, 'committed': 0}
+        rows = [m.rows for m in manifests.values()]
+        nbytes = [m.bytes for m in manifests.values()]
+        report = {
+            'partitions': self.num_partitions,
+            'committed': len(manifests),
+            'lake_rows': int(sum(rows)),
+            'lake_bytes': int(sum(nbytes)),
+            'max_partition_rows': int(max(rows)),
+            'min_partition_rows': int(min(rows)),
+            'skew_ratio': round(
+                max(rows) / max(1.0, sum(rows) / len(rows)), 3),
+            'hwm_lsn': int(max(m.hwm_lsn for m in manifests.values())),
+            'active_deltas': int(sum(len(m.deltas) for m in manifests.values())),
+            'history_files': int(
+                sum(len(m.history) for m in manifests.values())),
+            'events_applied': int(
+                sum(m.events_applied for m in manifests.values())),
+            'events_skipped': int(
+                sum(m.events_skipped for m in manifests.values())),
+            'rejected_by_code': self.rejection_counts(),
+            'retain_history': bool(self.retain_history),
+        }
+        return report

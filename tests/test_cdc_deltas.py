@@ -227,3 +227,20 @@ def test_as_dataset_column_pruning(tmp_path):
     assert len(t2) == final.num_rows
     assert sorted(t2['last_lsn']) == sorted(
         final.column('last_lsn').to_pylist())
+
+
+@pytest.mark.usefixtures('ray_session')
+def test_lake_report_totals(tmp_path):
+    import ray.data as rd
+
+    cfg = SynthConfig(n_keys=30, n_events=300, n_repos=3, seed=41)
+    log = make_events(cfg)
+    pipeline = CDCPipeline(str(tmp_path / 'lake'), num_partitions=4)
+    run = pipeline.run(rd.from_arrow(log))
+    report = pipeline.lake_report()
+    assert report['lake_rows'] == run.lake_rows
+    assert report['events_applied'] == run.events_applied
+    assert report['rejected_by_code'] == pipeline.rejection_counts()
+    assert report['committed'] <= report['partitions'] == 4
+    assert report['max_partition_rows'] >= report['min_partition_rows'] > 0
+    assert report['skew_ratio'] >= 1.0
