@@ -2146,6 +2146,43 @@ GROUP BY l_returnflag
 """
 
 
+def orders_stratified_sample(sf_dir: str):
+    """STRATIFIED deterministic sampling: per-status rates (O 10%, F 5%,
+    P 50%) via the Knuth multiplicative hash — the reproducible
+    downsample a training pipeline uses to rebalance classes. One
+    vectorized mask per batch (rate looked up per row), then a grouped
+    aggregate proves the strata landed at their rates."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, 'orders', columns=['o_orderkey', 'o_orderstatus'])
+    rates = {'O': 10, 'F': 5, 'P': 50}  # percent
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ok = batch.column('o_orderkey').combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        st = batch.column('o_orderstatus').combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        h = (ok.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(4294967296) % np.uint64(100)
+        thresh = np.zeros(len(ok), dtype=np.uint64)
+        for status, pct in rates.items():
+            thresh[st == status] = pct
+        return batch.filter(pa.array(h < thresh))
+
+    return ds.map_batches(pick, batch_format='pyarrow') \
+        .groupby('o_orderstatus').aggregate(Count(alias_name='n'))
+
+
+ORDERS_STRATIFIED_SQL = """
+SELECT o_orderstatus, count(*) AS n
+FROM orders
+WHERE (CAST(o_orderkey AS UBIGINT) * 2654435761) % 4294967296 % 100
+      < CASE o_orderstatus WHEN 'O' THEN 10 WHEN 'F' THEN 5
+                           WHEN 'P' THEN 50 ELSE 0 END
+GROUP BY o_orderstatus
+"""
+
+
 def multimodal_decode_demo(sf_dir: str):
     """Multimodal image decode over REAL (synthesized) BMP payloads —
     dependency-free header+raw decode emits true width/height/features
@@ -2661,6 +2698,7 @@ QUERIES = {
     'multimodal_decode_demo': (multimodal_decode_demo, MULTIMODAL_SQL),
     'lineitem_seeded_sample': (lineitem_seeded_sample, None),
     'lineitem_hash_sample': (lineitem_hash_sample, LINEITEM_HASH_SAMPLE_SQL),
+    'orders_stratified_sample': (orders_stratified_sample, ORDERS_STRATIFIED_SQL),
     'corpus_prep_demo': (corpus_prep_demo, None),
 }
 
