@@ -1693,6 +1693,51 @@ FROM planted
 DOCS_PII_SQL = _pii_scrub_sql()
 
 
+def docs_repetition(sf_dir: str):
+    """Within-document repetition scoring (the Gopher/RefinedWeb
+    duplicate-line quality rule): per doc, line count, distinct-line
+    count and the repetition ratio. Vectorized: one Arrow split per
+    batch, exploded with `list_parent_indices`, one grouped
+    nunique — no per-doc Python loop."""
+
+    ds = _read(sf_dir, 'documents', columns=['doc_id', 'text'])
+
+    def score(batch: pa.Table) -> pa.Table:
+        col = batch.column('text').combine_chunks()
+        lists = pc.split_pattern(col, '\n')
+        idx = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        flat = lists.flatten().to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({'i': idx, 'line': flat})
+        g = df.groupby('i', sort=True)['line'].agg(['size', 'nunique'])
+        n_lines = np.zeros(batch.num_rows, dtype=np.int64)
+        n_distinct = np.zeros(batch.num_rows, dtype=np.int64)
+        n_lines[g.index.to_numpy()] = g['size'].to_numpy()
+        n_distinct[g.index.to_numpy()] = g['nunique'].to_numpy()
+        rep = 1.0 - n_distinct / np.maximum(n_lines, 1)
+        return pa.table({
+            'doc_id': batch.column('doc_id'),
+            'n_lines': pa.array(n_lines),
+            'n_distinct': pa.array(n_distinct),
+            'rep_ratio': pa.array(np.round(rep, 4)),
+        })
+
+    return ds.map_batches(score, batch_format='pyarrow')
+
+
+DOCS_REPETITION_SQL = """
+WITH lines AS (
+    SELECT doc_id,
+           len(string_split(text, chr(10))) AS n_lines,
+           len(list_distinct(string_split(text, chr(10)))) AS n_distinct
+    FROM documents
+)
+SELECT doc_id, n_lines, n_distinct,
+       round(1.0 - n_distinct / CAST(greatest(n_lines, 1) AS DOUBLE), 4)
+           AS rep_ratio
+FROM lines
+"""
+
+
 def docs_fingerprint(sf_dir: str):
     from .text import add_fingerprint
 
@@ -2686,6 +2731,7 @@ QUERIES = {
     'docs_lang_id': (docs_lang_id, DOCS_LANG_ID_SQL),
     'docs_quality': (docs_quality, DOCS_QUALITY_SQL),
     'docs_pii_scrub': (docs_pii_scrub, DOCS_PII_SQL),
+    'docs_repetition': (docs_repetition, DOCS_REPETITION_SQL),
     # non-SQL-expressible (rows-only driver check):
     'docs_fingerprint': (docs_fingerprint, None),
     'events_hll_users': (events_hll_users, None),
