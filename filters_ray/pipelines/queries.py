@@ -1698,9 +1698,26 @@ def docs_repetition(sf_dir: str):
     duplicate-line quality rule): per doc, line count, distinct-line
     count and the repetition ratio. Vectorized: one Arrow split per
     batch, exploded with `list_parent_indices`, one grouped
-    nunique — no per-doc Python loop."""
+    nunique — no per-doc Python loop. The fixture corpus has fully
+    distinct lines, so repetition is PLANTED on every 6th doc (first
+    line appended 3×, mirrored in the SQL) — a non-vacuous check."""
 
     ds = _read(sf_dir, 'documents', columns=['doc_id', 'text'])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column('doc_id').combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        texts = batch.column('text').combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        out = [
+            t + ('\n' + t.split('\n', 1)[0]) * 3 if i % 6 == 0 else t
+            for i, t in zip(ids.tolist(), texts.tolist())
+        ]
+        return batch.set_column(
+            batch.column_names.index('text'), 'text',
+            pa.array(out, type=pa.string()))
+
+    ds = ds.map_batches(plant, batch_format='pyarrow')
 
     def score(batch: pa.Table) -> pa.Table:
         col = batch.column('text').combine_chunks()
@@ -1725,11 +1742,17 @@ def docs_repetition(sf_dir: str):
 
 
 DOCS_REPETITION_SQL = """
-WITH lines AS (
+WITH planted AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 6 = 0
+                THEN text || repeat(chr(10) || string_split(text, chr(10))[1], 3)
+                ELSE text END AS text
+    FROM documents
+), lines AS (
     SELECT doc_id,
            len(string_split(text, chr(10))) AS n_lines,
            len(list_distinct(string_split(text, chr(10)))) AS n_distinct
-    FROM documents
+    FROM planted
 )
 SELECT doc_id, n_lines, n_distinct,
        round(1.0 - n_distinct / CAST(greatest(n_lines, 1) AS DOUBLE), 4)
