@@ -1084,6 +1084,38 @@ GROUP BY user_id
 """
 
 
+def events_type_distinct_users(sf_dir: str):
+    """EXACT grouped COUNT(DISTINCT): distinct users per event type via
+    two-phase aggregation — per-batch pair dedup (numpy unique) shrinks
+    the exchange to distinct (type, user) pairs, the keyed count-dedup
+    collapses them, and a trivially small second aggregate counts per
+    type. The exact twin of the HLL sketch (`events_hll_users`)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, 'events', columns=['event_type', 'user_id'])
+
+    def pair_partial(df: pd.DataFrame) -> pa.Table:
+        return _from_pandas(df.drop_duplicates())
+
+    pairs = ds.map_batches(pair_partial, batch_format='pandas') \
+        .groupby(['event_type', 'user_id']).aggregate(Count(alias_name='_c'))
+
+    def one(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            'event_type': batch.column('event_type'),
+            'one': pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+        })
+
+    return pairs.map_batches(one, batch_format='pyarrow') \
+        .groupby('event_type').aggregate(Sum('one', alias_name='n_users'))
+
+
+EVENTS_DISTINCT_USERS_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 def events_distinct_types(sf_dir: str):
     """Distinct values of one column (``Dataset.unique`` — a shuffle)."""
     ds = _read(sf_dir, 'events', columns=['event_type'])
@@ -2729,6 +2761,9 @@ QUERIES = {
     'lineitem_rollup_counts': (lineitem_rollup_counts, LINEITEM_ROLLUP_SQL),
     'revenue_by_nation_asia': (revenue_by_nation_asia, REVENUE_BY_NATION_SQL),
     'events_distinct_types': (events_distinct_types, EVENTS_DISTINCT_SQL),
+    'events_type_distinct_users': (
+        events_type_distinct_users, EVENTS_DISTINCT_USERS_SQL,
+    ),
     'events_user_journey': (events_user_journey, EVENTS_JOURNEY_SQL),
     'events_type_pivot': (events_type_pivot, EVENTS_PIVOT_SQL),
     'lineitem_hot_suppliers': (lineitem_hot_suppliers, LINEITEM_HOT_SUPPLIERS_SQL),
