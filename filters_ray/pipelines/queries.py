@@ -1084,6 +1084,76 @@ GROUP BY user_id
 """
 
 
+def events_funnel(sf_dir: str):
+    """FUNNEL analysis: per-user ordered conversion depth through
+    signup → click-after-signup → purchase-after-that-click over each
+    user's first 10 events, counted by depth reached. Bucketed by user (one exchange); inside a bucket the
+    three step times are pure vectorized pandas (per-step grouped mins
+    with a time floor from the previous step), partial depth counts fold
+    in a ≤4-group aggregate."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, 'events',
+               columns=['user_id', 'ts', 'event_id', 'event_type'])
+    nb = _bucket_count(_parquet_rows(sf_dir, 'events'))
+
+    def depths(df: pd.DataFrame) -> pa.Table:
+        # Funnel over each user's FIRST 10 events (by ts, event_id) —
+        # over the whole history every user trivially converts.
+        df = df.sort_values(['user_id', 'ts', 'event_id']) \
+            .groupby('user_id', sort=False).head(10)
+        users = pd.Index(df['user_id'].unique(), name='user_id')
+
+        def step_min(etype, floor=None):
+            sub = df[df['event_type'] == etype]
+            if floor is not None:
+                f = floor.reindex(sub['user_id']).to_numpy()
+                sub = sub[sub['ts'].to_numpy() > f]
+            return sub.groupby('user_id')['ts'].min().reindex(users)
+
+        t1 = step_min('signup')
+        t2 = step_min('click', floor=t1)
+        t3 = step_min('purchase', floor=t2)
+        depth = (t1.notna().astype(int) + t2.notna().astype(int)
+                 + t3.notna().astype(int))
+        counts = depth.value_counts()
+        return _from_pandas(pd.DataFrame({
+            'depth': counts.index.to_numpy(dtype=np.int64),
+            'n_users': counts.to_numpy(dtype=np.int64),
+        }))
+
+    return _bucket_by_user(ds, nb).groupby('_b').map_groups(
+        depths, batch_format='pandas',
+    ).groupby('depth').aggregate(Sum('n_users', alias_name='n_users'))
+
+
+EVENTS_FUNNEL_SQL = """
+WITH events10 AS (
+    SELECT * FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) <= 10
+), u AS (
+    SELECT user_id,
+           min(ts) FILTER (WHERE event_type = 'signup') AS t1
+    FROM events10 GROUP BY user_id
+), u2 AS (
+    SELECT e.user_id, any_value(u.t1) AS t1,
+           min(e.ts) FILTER (WHERE e.event_type = 'click'
+                             AND e.ts > u.t1) AS t2
+    FROM events10 e JOIN u USING (user_id) GROUP BY e.user_id
+), u3 AS (
+    SELECT e.user_id, any_value(u2.t1) AS t1, any_value(u2.t2) AS t2,
+           min(e.ts) FILTER (WHERE e.event_type = 'purchase'
+                             AND e.ts > u2.t2) AS t3
+    FROM events10 e JOIN u2 USING (user_id) GROUP BY e.user_id
+)
+SELECT CAST((t1 IS NOT NULL) AS BIGINT) + CAST((t2 IS NOT NULL) AS BIGINT)
+       + CAST((t3 IS NOT NULL) AS BIGINT) AS depth,
+       count(*) AS n_users
+FROM u3 GROUP BY 1
+"""
+
+
 def events_type_distinct_users(sf_dir: str):
     """EXACT grouped COUNT(DISTINCT): distinct users per event type via
     two-phase aggregation — per-batch pair dedup (numpy unique) shrinks
@@ -2761,6 +2831,7 @@ QUERIES = {
     'lineitem_rollup_counts': (lineitem_rollup_counts, LINEITEM_ROLLUP_SQL),
     'revenue_by_nation_asia': (revenue_by_nation_asia, REVENUE_BY_NATION_SQL),
     'events_distinct_types': (events_distinct_types, EVENTS_DISTINCT_SQL),
+    'events_funnel': (events_funnel, EVENTS_FUNNEL_SQL),
     'events_type_distinct_users': (
         events_type_distinct_users, EVENTS_DISTINCT_USERS_SQL,
     ),
