@@ -256,9 +256,12 @@ def orders_customer_shuffle_join(sf_dir: str):
 
     orders = _read(sf_dir, 'orders', columns=['o_custkey', 'o_totalprice'])
     cust = _read(sf_dir, 'customer', columns=['c_custkey', 'c_nationkey'])
+    # Bucket count scales with the bigger side: one bucket's cogroup is
+    # ONE in-task frame (the r2 fixed-constant lesson).
+    nb = _bucket_count(_parquet_rows(sf_dir, 'orders'), floor=32)
     joined = hash_bucket_join(
         orders, cust, left_on='o_custkey', right_on='c_custkey',
-        num_buckets=32,
+        num_buckets=nb,
     )
     out = joined.groupby('c_nationkey').aggregate(
         Count(alias_name='n_orders'),
@@ -306,7 +309,9 @@ def customers_without_orders(sf_dir: str):
     orders = orders.map_batches(big_orders, batch_format='pyarrow')
     unmatched = hash_bucket_join(
         cust, orders, left_on='c_custkey', right_on='o_custkey',
-        num_buckets=32, how='anti',
+        num_buckets=_bucket_count(_parquet_rows(sf_dir, 'customer'),
+                                  floor=32),
+        how='anti',
     )
     out = unmatched.groupby('c_nationkey').aggregate(
         Count(alias_name='n_customers'),
@@ -351,7 +356,8 @@ def parts_with_lineitems(sf_dir: str):
     items = items.map_batches(full_qty, batch_format='pyarrow')
     matched = hash_bucket_join(
         part, items, left_on='p_partkey', right_on='l_partkey',
-        num_buckets=32, how='semi',
+        num_buckets=_bucket_count(_parquet_rows(sf_dir, 'part'), floor=32),
+        how='semi',
     )
     return matched.groupby('p_brand').aggregate(Count(alias_name='n_parts'))
 
@@ -2678,6 +2684,8 @@ def revenue_by_nation_asia(sf_dir: str):
 
     joined = hash_bucket_join(
         items, orders, left_on='l_orderkey', right_on='o_orderkey',
+        num_buckets=_bucket_count(_parquet_rows(sf_dir, 'lineitem'),
+                                  floor=32),
     )
 
     def partial(batch: pa.Table) -> pa.Table:
