@@ -115,7 +115,7 @@ class MinHashIndex:
         return int(n)
 
     def probe(self, ds, verify_threshold: Optional[float] = None,
-              texts=None):
+              texts=None, pair_buckets: Optional[int] = None):
         """Candidate near-dup pairs (left = probe key, right = indexed
         key). Reads only the index buckets the probe's signatures touch.
 
@@ -195,9 +195,13 @@ class MinHashIndex:
                 'right': kept.column('right'),
             })
 
+        if pair_buckets is None:
+            # One pair bucket materializes as ONE frame — scale the
+            # count with the probe's signature rows (bands × batch docs).
+            pair_buckets = max(64, -(-probe_sigs.count() // 131072))
         pairs = _dedup_pairs(
             joined.map_batches(finish, batch_format='pyarrow'),
-            num_buckets=64,
+            num_buckets=pair_buckets,
         )
         if verify_threshold is not None and texts is not None:
             from .dedup import verify_jaccard_pairs
