@@ -1247,6 +1247,27 @@ class CDCPipeline:
             asdict(m) for _, m in sorted(self.store.all_manifests().items())
         ]
 
+    def lookup(self, repo: str, path: str) -> Optional[dict]:
+        """Point lookup by full key: hash (repo, path) to its ONE
+        partition, merge-read just that partition (base + listed deltas,
+        column-complete), and return the live row as a dict — or None if
+        the key is absent/deleted. Cost is one partition, never a scan."""
+        pid = int(key_partition(
+            pa.array([repo], type=pa.string()),
+            pa.array([path], type=pa.string()),
+            self.num_partitions,
+        )[0])
+        table = self.partition_table(pid)
+        if table is None:
+            return None
+        hit = table.filter(pc.and_(
+            pc.equal(table.column('repo'), repo),
+            pc.equal(table.column('path'), path),
+        ))
+        if hit.num_rows == 0:
+            return None
+        return {c: hit.column(c)[0].as_py() for c in hit.column_names}
+
     def lake_report(self) -> dict:
         """Ops summary of the whole lake from manifests alone (no data
         files touched): totals, per-partition extremes (skew evidence),

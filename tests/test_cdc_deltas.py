@@ -244,3 +244,27 @@ def test_lake_report_totals(tmp_path):
     assert report['committed'] <= report['partitions'] == 4
     assert report['max_partition_rows'] >= report['min_partition_rows'] > 0
     assert report['skew_ratio'] >= 1.0
+
+
+@pytest.mark.usefixtures('ray_session')
+def test_point_lookup(tmp_path):
+    import ray.data as rd
+
+    cfg = SynthConfig(n_keys=40, n_events=400, n_repos=4, seed=43)
+    log = make_events(cfg)
+    pipeline = CDCPipeline(str(tmp_path / 'lake'), num_partitions=4,
+                           compact_every=8)
+    for c in _split_log(log, 2):
+        pipeline.run(rd.from_arrow(c))
+
+    final = pipeline.final_table()
+    # Every live row is findable and matches the merged view exactly.
+    for i in range(0, final.num_rows, max(1, final.num_rows // 7)):
+        repo = final.column('repo')[i].as_py()
+        path = final.column('path')[i].as_py()
+        row = pipeline.lookup(repo, path)
+        assert row is not None
+        assert row['last_lsn'] == final.column('last_lsn')[i].as_py()
+        assert row['content'] == final.column('content')[i].as_py()
+    # Absent key → None.
+    assert pipeline.lookup('no-such-repo', 'nope') is None
