@@ -141,3 +141,38 @@ def test_cdc_directory_tail(tmp_path):
     replay = pipeline.tail(str(events_dir), poll_interval=0.01, idle_timeout=0.0)
     assert replay.events_applied == 0
     assert final_state_digests(pipeline.final_table()) == oracle.sha256_by_key()
+
+
+@pytest.mark.usefixtures('ray_session')
+def test_tail_with_retained_history_serves_cdf(tmp_path):
+    """The streaming shape end-to-end: directory tailing into a
+    retained-history lake; the change-data-feed covers every applied
+    event and LWW over the feed reproduces the live table."""
+    import pyarrow.parquet as pq
+
+    from filters_ray.pipelines.cdc import _drop_tombstones, _last_writer_wins
+
+    cfg = SynthConfig(n_keys=50, n_events=480, n_repos=5, seed=47)
+    log = make_events(cfg).sort_by([('lsn', 'ascending')])
+    events_dir = tmp_path / 'incoming'
+    events_dir.mkdir()
+    pipeline = CDCPipeline(str(tmp_path / 'lake'), num_partitions=4,
+                           compact_every=2, retain_history=True)
+
+    step = log.num_rows // 3
+    for wave in range(3):
+        chunk = log.slice(wave * step,
+                          step if wave < 2 else log.num_rows - 2 * step)
+        pq.write_table(chunk, events_dir / f'wal-{wave:04d}.parquet')
+        pipeline.tail(str(events_dir), poll_interval=0.01, idle_timeout=0.0)
+
+    feed = pipeline.changes()
+    assert feed.num_rows > 0
+    replayed = _drop_tombstones(_last_writer_wins(feed))
+    assert final_state_digests(replayed) == \
+        final_state_digests(pipeline.final_table())
+    # A mid-stream snapshot is also answerable after tailing.
+    mid = int(pa.compute.max(
+        log.slice(0, 2 * step).column('lsn')).as_py())
+    snap = pipeline.table_as_of(mid)
+    assert 0 < snap.num_rows <= pipeline.final_table().num_rows
