@@ -81,6 +81,21 @@ def main(argv=None) -> int:
     try:
         from filters_ray.pipelines.cdc import CDCPipeline
 
+        if read_mode:
+            # A pure read must not create a lake as a side effect: the
+            # CDCPipeline constructor writes _meta.json on a missing
+            # root, so a typo'd --lake path would silently materialize
+            # an empty lake (with retain_history pinned off) before
+            # failing confusingly (ADVICE r3 low).
+            import os
+
+            if not os.path.exists(os.path.join(args.lake, '_meta.json')):
+                print(json.dumps({
+                    'error': f'no lake at {args.lake} '
+                             '(read mode requires an existing lake)',
+                }), file=sys.stderr)
+                return 2
+
         pipeline = CDCPipeline(
             args.lake,
             num_partitions=args.partitions,

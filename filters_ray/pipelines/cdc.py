@@ -503,6 +503,16 @@ def make_upsert_fn(lake_root: str, redrive: bool = False,
             return pa.table({k: pa.array([], type=v) for k, v in _SUMMARY_SCHEMA.items()})
         store = ManifestStore(lake_root)
         pid = int(group.column(PART_COLUMN)[0].as_py())
+        # Serialize concurrent writers per partition: the whole
+        # read-merge-commit cycle runs under the partition lock, so a
+        # second pipeline writing the same lake interleaves cleanly
+        # instead of losing updates / tearing the manifest. Intra-run
+        # there is no contention (one group task per partition), so the
+        # single-writer fast path pays one uncontended flock syscall.
+        with store.partition_lock(pid):
+            return _apply_partition(group, store, pid)
+
+    def _apply_partition(group: pa.Table, store: ManifestStore, pid: int) -> pa.Table:
         prev = store.read_manifest(pid)
         hwm = prev.hwm_lsn if prev else -1
 
@@ -791,16 +801,20 @@ class CDCPipeline:
         store = ManifestStore(lake_root)
         meta = store.read_meta()
         if meta is None:
-            meta = TableMeta(num_partitions=num_partitions,
-                             retain_history=retain_history)
-            store.write_meta(meta)
-        else:
-            if meta.num_partitions != num_partitions:
-                # The pinned partition count wins — replay determinism.
-                num_partitions = meta.num_partitions
-            # Retention is pinned at lake creation too: a lake that ever
-            # compacted without it has unfillable history holes.
-            retain_history = bool(getattr(meta, 'retain_history', False))
+            # Creation races under a concurrent writer: re-check under
+            # an exclusive lock so exactly one constructor creates the
+            # meta and the loser adopts the winner's pinned settings.
+            with store.meta_lock():
+                meta = store.read_meta()
+                if meta is None:
+                    meta = TableMeta(num_partitions=num_partitions,
+                                     retain_history=retain_history)
+                    store.write_meta(meta)
+        # The pinned settings win (a no-op for the creator): partition
+        # count for replay determinism; retention because a lake that
+        # ever compacted without it has unfillable history holes.
+        num_partitions = meta.num_partitions
+        retain_history = bool(getattr(meta, 'retain_history', False))
         self.num_partitions = num_partitions
         self.retain_history = retain_history
         self.store = store
@@ -970,6 +984,14 @@ class CDCPipeline:
             manifest = self.store.read_manifest(pid)
             if manifest is None:
                 continue
+            floor = getattr(manifest, 'history_floor_lsn', -1)
+            if since_lsn < floor:
+                raise ValueError(
+                    f'changes(since_lsn={since_lsn}) needs history at or '
+                    f'below the vacuum floor (lsn {floor}); that window '
+                    'was collapsed by vacuum_history() and individual '
+                    'change rows in it are unrecoverable',
+                )
             for name in manifest.history:
                 rng = _parse_delta_range(name)
                 if rng is None:
@@ -1009,7 +1031,16 @@ class CDCPipeline:
                 mask = pc.and_(mask, pc.less_equal(lsn, until_lsn))
             return batch.filter(mask)
 
-        return rd.read_parquet(paths).map_batches(
+        # History files have heterogeneous schemas across commits
+        # (additive widening) — reading them under first-fragment schema
+        # inference can drop later-added columns (ADVICE r3). Widen
+        # across the pruned files and pass the explicit schema: the
+        # reader then null-fills missing columns per file.
+        schema = None
+        for p in paths:
+            s = pq.read_schema(p).remove_metadata()
+            schema = s if schema is None else widen_schema(schema, s)[0]
+        return rd.read_parquet(paths, schema=schema).map_batches(
             window, batch_format='pyarrow')
 
     def changes(self, since_lsn: int = -1,
@@ -1041,6 +1072,14 @@ class CDCPipeline:
             manifest = self.store.read_manifest(pid)
             if manifest is None:
                 continue
+            floor = getattr(manifest, 'history_floor_lsn', -1)
+            if lsn < floor:
+                raise ValueError(
+                    f'table_as_of({lsn}) predates the vacuum floor '
+                    f'(lsn {floor}): versions inside the vacuumed window '
+                    'were collapsed into a checkpoint and snapshots '
+                    'before it are unrecoverable',
+                )
             tables = []
             for name in manifest.history:
                 rng = _parse_delta_range(name)
@@ -1066,30 +1105,64 @@ class CDCPipeline:
     def vacuum_history(self, before_lsn: int) -> int:
         """Reclaim history files whose whole LSN window is < before_lsn
         (bounding changes()/table_as_of() to the retained window, like
-        Delta Lake VACUUM). Manifest commits first; file removal after.
-        Returns the number of files removed."""
+        Delta Lake VACUUM). Returns the number of files removed.
+
+        The vacuumed window is first collapsed into ONE checkpoint file
+        per partition (LWW over the dropped files, tombstones kept — the
+        Delta-checkpoint analogue), so every cold key's latest retained
+        version survives and ``table_as_of(lsn >= floor)`` stays exact
+        for keys untouched since the vacuumed window (ADVICE r3 high:
+        without this, vacuum silently dropped cold keys from every as-of
+        result). The partition's ``history_floor_lsn`` records the
+        collapse boundary: as-of / changes requests *inside* the
+        vacuumed window raise instead of returning collapsed history.
+        Manifest commits first; file removal after (crash-safe)."""
         removed = 0
         for pid in range(self.num_partitions):
-            manifest = self.store.read_manifest(pid)
-            if manifest is None or not manifest.history:
-                continue
-            keep, drop = [], []
-            for name in manifest.history:
-                rng = _parse_delta_range(name)
-                if rng is not None and rng[1] < before_lsn:
-                    drop.append(name)
-                else:
-                    keep.append(name)
-            if not drop:
-                continue
-            manifest.history = keep
-            self.store.commit_partition(manifest, None, remove_data=False)
-            for name in drop:
-                try:
-                    os.remove(self.store.history_path(pid, name))
-                    removed += 1
-                except FileNotFoundError:
-                    pass
+            with self.store.partition_lock(pid):
+                manifest = self.store.read_manifest(pid)
+                if manifest is None or not manifest.history:
+                    continue
+                keep, drop, drop_rng = [], [], []
+                for name in manifest.history:
+                    rng = _parse_delta_range(name)
+                    if rng is not None and rng[1] < before_lsn:
+                        drop.append(name)
+                        drop_rng.append(rng)
+                    else:
+                        keep.append(name)
+                if not drop:
+                    continue
+                tables = []
+                for name in drop:
+                    p = self.store.history_path(pid, name)
+                    if os.path.exists(p):
+                        tables.append(_ensure_op(pq.read_table(p)))
+                lo = min(r[0] for r in drop_rng)
+                hi = max(r[1] for r in drop_rng)
+                ckpt_name = None
+                if tables:
+                    ckpt = _last_writer_wins(_concat_widened(tables))
+                    ckpt_name = f'delta-{lo}-{hi}.parquet'
+                    os.makedirs(self.store.history_dir(pid), exist_ok=True)
+                    tmp = self.store.tmp_path(pid, kind='vac')
+                    pq.write_table(ckpt, tmp)
+                    os.replace(tmp, self.store.history_path(pid, ckpt_name))
+                manifest.history = (
+                    ([ckpt_name] if ckpt_name else []) + keep
+                )
+                manifest.history_floor_lsn = max(
+                    manifest.history_floor_lsn, hi,
+                )
+                self.store.commit_partition(manifest, None, remove_data=False)
+                for name in drop:
+                    if name == ckpt_name:
+                        continue  # collapsed in place (single-file window)
+                    try:
+                        os.remove(self.store.history_path(pid, name))
+                        removed += 1
+                    except FileNotFoundError:
+                        pass
         return removed
 
     def replay_dlq(

@@ -158,16 +158,71 @@ def test_non_retaining_lake_refuses(tmp_path, ray_session):
 
 def test_vacuum_bounds_the_window(history_lake):
     pipeline, _, _, boundaries = history_lake
-    # Vacuum everything strictly below the first boundary.
-    removed = pipeline.vacuum_history(before_lsn=boundaries[0] + 1)
+    final_before = final_state_digests(pipeline.final_table())
+    # Vacuum everything strictly below the second boundary: each
+    # partition's first two history files collapse into one checkpoint.
+    removed = pipeline.vacuum_history(before_lsn=boundaries[1] + 1)
     assert removed > 0
-    # Live table untouched; recent window still answerable.
-    oracle_rows = pipeline.final_table().num_rows
-    assert pipeline.table_as_of(boundaries[-1]).num_rows == oracle_rows
+    # Live table untouched; latest as-of still EXACT (the checkpoint
+    # retains every cold key's last vacuumed-window version).
+    assert final_state_digests(pipeline.final_table()) == final_before
+    assert final_state_digests(pipeline.table_as_of(boundaries[-1])) == \
+        final_before
+    # The floor: requests inside the vacuumed window refuse instead of
+    # silently returning collapsed history (ADVICE r3 high).
+    floors = [
+        m.history_floor_lsn for m in pipeline.store.all_manifests().values()
+    ]
+    assert max(floors) > -1
+    with pytest.raises(ValueError, match='vacuum floor'):
+        pipeline.table_as_of(boundaries[0])
+    with pytest.raises(ValueError, match='vacuum'):
+        pipeline.changes()  # full feed needs the collapsed window
+    # At/above the floor both stay answerable.
     recent = pipeline.changes(since_lsn=boundaries[1])
     assert recent.num_rows > 0
-    # Vacuumed files are gone from disk.
+    # Disk matches the manifests exactly (vacuumed files gone, no strays).
     for pid, m in pipeline.store.all_manifests().items():
         hdir = pipeline.store.history_dir(pid)
         if os.path.isdir(hdir):
             assert set(os.listdir(hdir)) == set(m.history)
+
+
+def test_vacuum_preserves_cold_keys(tmp_path, ray_session):
+    """The ADVICE r3 (high) scenario: a key untouched after the vacuumed
+    window must still appear in every post-floor as-of snapshot."""
+    import ray.data as rd
+
+    def ev(lsn, op, path, content):
+        return {'lsn': lsn, 'op': op, 'repo': 'r1', 'path': path,
+                'commit': 'a' * 40, 'lang': '', 'content': content}
+
+    lake = str(tmp_path / 'cold')
+    pipeline = CDCPipeline(lake, num_partitions=2, retain_history=True)
+    pipeline.run(rd.from_arrow(pa.Table.from_pylist([
+        ev(1, 'insert', 'cold.txt', 'COLD'),
+        ev(2, 'insert', 'hot.txt', 'H1'),
+    ])))
+    pipeline.run(rd.from_arrow(pa.Table.from_pylist([
+        ev(10, 'update', 'hot.txt', 'H2'),
+    ])))
+    pipeline.vacuum_history(before_lsn=3)
+
+    # cold.txt was last written inside the vacuumed window — the
+    # checkpoint must carry it into every reachable snapshot.
+    snap = pipeline.table_as_of(10)
+    by_path = {
+        p: c for p, c in zip(snap.column('path').to_pylist(),
+                             snap.column('content').to_pylist())
+    }
+    assert by_path == {'cold.txt': b'COLD', 'hot.txt': b'H2'}
+    # As-of exactly at the floor is still exact (whole window retained).
+    snap_floor = pipeline.table_as_of(2)
+    assert sorted(snap_floor.column('content').to_pylist()) == [b'COLD', b'H1']
+    # Below the floor: refuse.
+    with pytest.raises(ValueError, match='vacuum floor'):
+        pipeline.table_as_of(1)
+    # Feed above the floor intact; full feed refuses.
+    assert pipeline.changes(since_lsn=2).num_rows == 1
+    with pytest.raises(ValueError, match='vacuum'):
+        pipeline.changes()
