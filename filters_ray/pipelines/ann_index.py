@@ -3,13 +3,13 @@
 The similarity twin of :class:`filters_ray.pipelines.dedup_index.MinHashIndex`:
 centroids are trained once and pinned on disk, every micro-batch of
 vectors is assigned and appended into Hive-partitioned inverted lists
-(``centroid=<c>/``), and a search reads ONLY the ``nprobe`` probed lists
+(``_pc=<c>/``), and a search reads ONLY the ``nprobe`` probed lists
 — cost scales with the probed fraction, never the corpus.
 
 Layout::
 
     <root>/_centroids.parquet        # pinned (num_centroids, dim) matrix
-    <root>/centroid=<c>/*.parquet    # (key, _unit fixed_size_list) rows
+    <root>/_pc=<c>/*.parquet         # (key, centroid, _unit fsl) rows
 
 Vectors are stored L2-normalized (``_unit``) so search is one matmul per
 batch against the broadcast query matrix — the same kernel as
@@ -54,7 +54,9 @@ class AnnIndex:
         return os.path.join(self.root, '_centroids.parquet')
 
     def list_dir(self, c: int) -> str:
-        return os.path.join(self.root, f'centroid={c}')
+        """On-disk directory of centroid ``c``'s inverted list (the Hive
+        partition ``add()`` actually writes)."""
+        return os.path.join(self.root, f'_pc={c}')
 
     # -- build / add -------------------------------------------------------
 
@@ -91,8 +93,11 @@ class AnnIndex:
         def with_partition_col(batch: pa.Table) -> pa.Table:
             return batch.append_column('_pc', batch.column('centroid'))
 
+        # Materialize once: count() + write would otherwise execute the
+        # assignment pipeline twice (ADVICE r3). A micro-batch is
+        # bounded, so pinning its blocks is safe.
         tagged = tagged.map_batches(with_partition_col,
-                                    batch_format='pyarrow')
+                                    batch_format='pyarrow').materialize()
         n = tagged.count()
         write_partitioned(tagged, self.root, partition_cols=['_pc'])
         return int(n)
@@ -119,7 +124,7 @@ class AnnIndex:
 
         files = []
         for c in probed:
-            d = os.path.join(self.root, f'_pc={c}')
+            d = self.list_dir(c)
             if os.path.isdir(d):
                 files.extend(
                     os.path.join(d, f) for f in sorted(os.listdir(d))

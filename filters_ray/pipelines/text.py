@@ -110,11 +110,16 @@ def add_fingerprint(batch: pa.Table, column: str = 'text') -> pa.Table:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     norm = normalize_for_fingerprint(col)
-    values = np.asarray(norm.to_numpy(zero_copy_only=False), dtype=object)
-    mask = np.array([v is None for v in values])
-    values = np.where(mask, '', values)
+    mask = np.asarray(
+        pc.is_null(norm).to_numpy(zero_copy_only=False), dtype=bool,
+    )
+    values = np.asarray(
+        pc.fill_null(norm, '').to_numpy(zero_copy_only=False), dtype=object,
+    )
     hashed = pd.util.hash_array(values, categorize=False)
-    hexes = np.array([f'{h:016x}' for h in hashed], dtype=object)
+    # Hex formatting without a per-row Python f-string loop (VERDICT r3
+    # #9): np.char.mod formats the whole uint64 vector in C.
+    hexes = np.char.mod('%016x', hashed).astype(object)
     hexes[mask] = None
     return batch.append_column('fingerprint', pa.array(hexes, type=pa.string()))
 

@@ -41,11 +41,24 @@ class _BroadcastJoinStage:
         df = right.to_pandas()
         # SQL: null keys match nothing — drop them from the build side.
         self.right = df[df[right_on].notna()]
+        # Original Arrow types: the output is rebuilt against these so
+        # pandas' null-padding float promotion (unmatched left rows in a
+        # 'left' join NaN-fill int right columns → float64) can never
+        # leak heterogeneous block schemas downstream (ADVICE r3 —
+        # broadcast and shuffle plans must be byte-identical).
+        self.r_types = {
+            name: right.schema.field(name).type
+            for name in right.column_names
+        }
         self.left_on = left_on
         self.right_on = right_on
         self.how = how
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        l_types = {
+            name: batch.schema.field(name).type
+            for name in batch.column_names
+        }
         left = batch.to_pandas()
         lo, ro, how = self.left_on, self.right_on, self.how
         if how in ('semi', 'anti'):
@@ -67,8 +80,14 @@ class _BroadcastJoinStage:
                 merged = pd.concat([merged, left[~notna]],
                                    ignore_index=True)
             out = merged
-        return pa.Table.from_pandas(out, preserve_index=False) \
-            .replace_schema_metadata(None)
+        arrays = {}
+        for c in out.columns:
+            t = l_types.get(c, self.r_types.get(c))
+            try:
+                arrays[c] = pa.array(out[c].values, type=t, from_pandas=True)
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                arrays[c] = pa.array(out[c].values, from_pandas=True)
+        return pa.table(arrays).replace_schema_metadata(None)
 
 
 def broadcast_join(left, right_table: pa.Table, left_on: str,

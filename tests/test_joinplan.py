@@ -47,6 +47,32 @@ def test_broadcast_equals_shuffle_join(ray_session, how):
     assert _normalize(b).equals(_normalize(s)), how
 
 
+def test_broadcast_left_join_preserves_int_types(ray_session):
+    """ADVICE r3: unmatched left rows in a broadcast 'left' join must
+    null-pad int right columns at int64 — not float64 — and every block
+    must carry the SAME schema (the pandas NaN-promotion leak made
+    matched-only and mixed batches disagree within one Dataset)."""
+    import ray.data as rd
+
+    left, _ = _fixtures()
+    right = pa.table({
+        'k': pa.array([1, 2], type=pa.int64()),
+        'rv': pa.array([100, 200], type=pa.int64()),
+    })
+    # Several single-row blocks: some all-matched, some all-unmatched.
+    ds = rd.from_arrow(left).repartition(6)
+    out = broadcast_join(ds, right, 'k', 'k', how='left')
+    blocks = [b for b in out.iter_batches(batch_format='pyarrow')
+              if b.num_rows]
+    schemas = {b.schema for b in blocks}
+    assert len(schemas) == 1, schemas
+    merged = pa.concat_tables(blocks)
+    assert merged.schema.field('rv').type == pa.int64()
+    assert merged.num_rows == 6
+    matched = merged.filter(pa.compute.is_valid(merged.column('rv')))
+    assert sorted(matched.column('rv').to_pylist()) == [100, 200, 200]
+
+
 def test_broadcast_rejects_outer_modes(ray_session):
     import ray.data as rd
 

@@ -45,3 +45,39 @@ def test_seeded_sample_deterministic():
     b = lineitem_seeded_sample(SF_DIR).to_pandas().sort_values('l_returnflag')
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
     assert a['n'].sum() > 0
+
+
+def test_first_50_entries_are_all_oracled():
+    """Driver-cap ordering contract (VERDICT r3 #3): the graft driver
+    hash-checks only the first 50 QUERIES entries, so every one of them
+    must carry an oracle SQL — adding a rows-only demo above the cap
+    would silently hide an oracled query from CORRECTNESS reporting."""
+    from filters_ray.pipelines.queries import QUERIES
+
+    names = list(QUERIES)
+    unoracled = [n for n in names[:50] if QUERIES[n][1] is None]
+    assert unoracled == []
+    # And the flagship CDC entries lead the file.
+    assert names[0] == 'events_cdc_upsert'
+
+
+def test_int_lookup_gate_sparse_domain():
+    """Size gate for broadcast LUTs (VERDICT r3 #6): a sparse
+    huge-domain key set must route to the hashed representation and
+    return identical lookups to the dense path."""
+    import numpy as np
+
+    from filters_ray.pipelines.queries import _IntLookup
+
+    sparse = _IntLookup(np.array([5, 10**12, 3], dtype=np.int64),
+                        np.array([50, 7, 30], dtype=np.int64))
+    assert not sparse.is_dense
+    assert sparse.take(
+        np.array([3, 5, 10**12, 99, -1], dtype=np.int64),
+    ).tolist() == [30, 50, 7, -1, -1]
+
+    dense = _IntLookup(np.array([1, 4]), np.array([9, 8]))
+    assert dense.is_dense
+    assert dense.take(
+        np.array([0, 1, 4, 5, -3], dtype=np.int64),
+    ).tolist() == [-1, 9, 8, -1, -1]
