@@ -109,6 +109,8 @@ class CompiledChain:
         """
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
+        if pa.types.is_dictionary(arr.type):
+            return self._apply_dictionary(arr)
         n = len(arr)
         errors = ColumnErrors(n)
         ok = np.ones(n, dtype=bool)
@@ -142,6 +144,33 @@ class CompiledChain:
                 break
 
         return self._stitch(current, frozen, n), errors
+
+    def _apply_dictionary(self, arr: pa.DictionaryArray):
+        """Dictionary fast path (VERDICT r3 #7): run the chain ONCE over
+        the dictionary's unique values (plus one null sentinel standing
+        in for every null row — chains are per-value, so the null
+        outcome is uniform), then gather values and error masks back
+        through the indices. Cost: chain over n_unique values + O(n)
+        gathers — the win on low-cardinality string columns (repo/lang
+        in the CDC schema). Semantics are identical to applying the
+        chain to the decoded column (parity-tested in test_vector.py):
+        the scalar side sees decoded Python values either way."""
+        n = len(arr)
+        vals = arr.dictionary
+        sentinel = len(vals)
+        vals_plus = pa.concat_arrays([vals, pa.nulls(1, type=vals.type)])
+        out_vals, val_errors = self.apply_column(vals_plus)
+
+        idx = pc.fill_null(arr.indices, sentinel).cast(pa.int64())
+        idx_np = np.asarray(idx.to_numpy(zero_copy_only=False), dtype=np.int64)
+        out = out_vals.take(idx)
+
+        errors = ColumnErrors(n)
+        for rows, code, subkey in val_errors.entries:
+            mask_vals = np.zeros(sentinel + 1, dtype=bool)
+            mask_vals[rows] = True
+            errors.add(mask_vals[idx_np], code, subkey)
+        return out, errors
 
     @staticmethod
     def _stitch(

@@ -315,3 +315,47 @@ def test_large_column_fastpath():
     out, errors = compiled.apply_column(col)
     assert len(out) == n
     assert errors.row_mask.sum() == n // 10
+
+
+DICT_CASES = [
+    ('dict_choice', lambda: f.Required | f.Choice(choices={'py', 'go', 'rs'}),
+     ['py', 'go', 'xx', None, 'py', 'rs', 'go', 'xx', '']),
+    ('dict_regex', lambda: f.Unicode | f.Regex(r'^[a-z]+$'),
+     ['abc', 'ABC', None, 'x1', 'abc', 'zz', '', 'ABC']),
+    ('dict_strip_maxlen', lambda: f.Strip | f.MaxLength(3),
+     ['  ab ', 'abcd', None, 'x', '  ab ', 'toolong', 'x']),
+    ('dict_lengths', lambda: f.Length(2),
+     ['ab', 'a', None, 'abcd', 'ab', 'cd', 'a']),
+    ('dict_int_chain', lambda: f.Int | f.Min(0) | f.Max(10),
+     [1, 5, 99, None, -2, 5, 1]),
+]
+
+
+@pytest.mark.parametrize(
+    'name,builder,column', DICT_CASES, ids=[c[0] for c in DICT_CASES])
+def test_dictionary_column_parity(name, builder, column):
+    """Dictionary fast path (VERDICT r3 #7): a dictionary-encoded column
+    must produce byte-identical values AND error codes to the decoded
+    column and to the scalar reference — the chain runs once over the
+    unique values and gathers back through the indices."""
+    plain = pa.array(column)
+    darr = plain.dictionary_encode()
+    compiled = compile_chain(builder())
+
+    out_d, err_d = compiled.apply_column(darr)
+    out_p, err_p = compiled.apply_column(plain)
+    assert out_d.to_pylist() == out_p.to_pylist()
+    assert [sorted(r) for r in err_d.codes_per_row()] == \
+        [sorted(r) for r in err_p.codes_per_row()]
+
+    _, expected_codes = scalar_reference(builder, column)
+    assert [sorted(r) for r in err_d.codes_per_row()] == expected_codes
+
+
+def test_dictionary_all_null_and_empty_dict():
+    compiled = compile_chain(f.Required | f.Unicode)
+    all_null = pa.array([None, None], type=pa.string()).dictionary_encode()
+    out, errors = compiled.apply_column(all_null)
+    assert out.to_pylist() == [None, None]
+    assert [sorted(r) for r in errors.codes_per_row()] == \
+        [[('', 'empty')], [('', 'empty')]]
