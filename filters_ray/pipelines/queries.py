@@ -2831,22 +2831,43 @@ def revenue_by_nation_asia(sf_dir: str):
         'l_orderkey', 'l_suppkey', 'l_extendedprice', 'l_discount',
     ]).map_batches(items_side, batch_format='pyarrow')
 
-    # Bloom semi-join pushdown: the date+region filter keeps ~28% of
-    # orders, so ~72% of the (bigger) lineitem side would enter the
-    # exchange only to find no partner. Build a ~0.5%-FPR bloom over the
-    # surviving orderkeys (shipped once per probe actor) and drop those
-    # rows BEFORE the all-to-all. Orders is materialized because it
-    # feeds both the bloom build and the join — it is the post-filter
-    # SMALL side (2 int columns), and blocks spill rather than pin.
+    # Orders is materialized because it feeds the size gate AND the
+    # join — it is the post-filter SMALL side (2 int columns), and
+    # blocks spill rather than pin.
     orders = orders.materialize()
-    bloom = build_bloom(orders, 'o_orderkey')
-    items = bloom_semi_filter(items, 'l_orderkey', bloom)
+    est = orders.size_bytes() or (1 << 62)
+    if est <= 64 << 20:
+        # Broadcast path (r4): the post-filter orders side fits a worker
+        # heap, so a map-side hash join removes the all-to-all entirely
+        # — and the bloom prefilter with it (the join drops non-matches
+        # itself). At TPC-H sf1000 the post-filter side is ~2 GB and the
+        # gate routes to the exchange below instead.
+        from ..stages.joinplan import broadcast_join
 
-    joined = hash_bucket_join(
-        items, orders, left_on='l_orderkey', right_on='o_orderkey',
-        num_buckets=_bucket_count(_parquet_rows(sf_dir, 'lineitem'),
-                                  floor=32),
-    )
+        blocks = [
+            b for b in orders.iter_batches(batch_format='pyarrow')
+            if b.num_rows
+        ]
+        orders_t = pa.concat_tables(blocks) if blocks else pa.table({
+            'o_orderkey': pa.array([], type=pa.int64()),
+            'cust_nation': pa.array([], type=pa.int64()),
+        })
+        joined = broadcast_join(
+            items, orders_t, 'l_orderkey', 'o_orderkey', how='inner')
+    else:
+        # Bloom semi-join pushdown: the date+region filter keeps ~28% of
+        # orders, so ~72% of the (bigger) lineitem side would enter the
+        # exchange only to find no partner. Build a ~0.5%-FPR bloom over
+        # the surviving orderkeys (shipped once per probe actor) and
+        # drop those rows BEFORE the all-to-all.
+        bloom = build_bloom(orders, 'o_orderkey')
+        items = bloom_semi_filter(items, 'l_orderkey', bloom)
+
+        joined = hash_bucket_join(
+            items, orders, left_on='l_orderkey', right_on='o_orderkey',
+            num_buckets=_bucket_count(_parquet_rows(sf_dir, 'lineitem'),
+                                      floor=32),
+        )
 
     def partial(batch: pa.Table) -> pa.Table:
         sn = batch.column('supp_nation').combine_chunks().to_numpy()
