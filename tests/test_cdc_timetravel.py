@@ -226,3 +226,38 @@ def test_vacuum_preserves_cold_keys(tmp_path, ray_session):
     assert pipeline.changes(since_lsn=2).num_rows == 1
     with pytest.raises(ValueError, match='vacuum'):
         pipeline.changes()
+
+
+def test_changes_feed_preserves_late_added_columns(tmp_path, ray_session):
+    """ADVICE r3: history files have heterogeneous schemas across
+    commits (additive widening); the feed must carry columns added by
+    later commits regardless of which file schema-inference sees first,
+    with nulls for the earlier commits' rows."""
+    import ray.data as rd
+
+    def ev(lsn, path, content, extra=None):
+        row = {'lsn': lsn, 'op': 'insert', 'repo': 'r1', 'path': path,
+               'commit': 'b' * 40, 'lang': '', 'content': content}
+        if extra is not None:
+            row['branch'] = extra
+        return row
+
+    lake = str(tmp_path / 'widen')
+    pipeline = CDCPipeline(lake, num_partitions=2, retain_history=True)
+    pipeline.run(rd.from_arrow(pa.Table.from_pylist([
+        ev(1, 'a.txt', 'A'), ev(2, 'b.txt', 'B'),
+    ])))
+    pipeline.run(rd.from_arrow(pa.Table.from_pylist([
+        ev(10, 'c.txt', 'C', extra='main'),
+        ev(11, 'd.txt', 'D', extra='dev'),
+    ])))
+
+    feed = pipeline.changes()
+    assert 'branch' in feed.column_names
+    by_path = dict(zip(feed.column('path').to_pylist(),
+                       feed.column('branch').to_pylist()))
+    assert by_path == {'a.txt': None, 'b.txt': None,
+                       'c.txt': 'main', 'd.txt': 'dev'}
+    # The windowed dataset path too (covers the pruned-file subset).
+    recent = pipeline.changes(since_lsn=2)
+    assert set(recent.column('branch').to_pylist()) == {'main', 'dev'}

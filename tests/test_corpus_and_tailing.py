@@ -176,3 +176,16 @@ def test_tail_with_retained_history_serves_cdf(tmp_path):
         log.slice(0, 2 * step).column('lsn')).as_py())
     snap = pipeline.table_as_of(mid)
     assert 0 < snap.num_rows <= pipeline.final_table().num_rows
+
+
+def test_cdc_job_read_mode_requires_existing_lake(tmp_path, ray_session):
+    """ADVICE r3: a typo'd --lake in a pure read must not create an
+    empty lake as a side effect — it errors out instead."""
+    import os
+
+    from filters_ray.cdc_job import main
+
+    missing = str(tmp_path / 'no_such_lake')
+    rc = main(['--lake', missing, '--report'])
+    assert rc == 2
+    assert not os.path.exists(os.path.join(missing, '_meta.json'))
