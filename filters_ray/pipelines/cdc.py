@@ -762,6 +762,57 @@ def make_upsert_fn(lake_root: str, redrive: bool = False,
     return upsert_partition
 
 
+def _vacuum_partition(lake_root: str, pid: int, before_lsn: int) -> int:
+    """One partition's vacuum cycle (see :meth:`CDCPipeline.vacuum_history`
+    for semantics): collapse the sub-``before_lsn`` history window into a
+    checkpoint, record the floor, reclaim the dropped files. Runs under
+    the partition lock — safe alongside concurrent writers and other
+    vacuums. Module-level so it ships as a Ray task."""
+    store = ManifestStore(lake_root)
+    removed = 0
+    with store.partition_lock(pid):
+        manifest = store.read_manifest(pid)
+        if manifest is None or not manifest.history:
+            return 0
+        keep, drop, drop_rng = [], [], []
+        for name in manifest.history:
+            rng = _parse_delta_range(name)
+            if rng is not None and rng[1] < before_lsn:
+                drop.append(name)
+                drop_rng.append(rng)
+            else:
+                keep.append(name)
+        if not drop:
+            return 0
+        tables = []
+        for name in drop:
+            p = store.history_path(pid, name)
+            if os.path.exists(p):
+                tables.append(_ensure_op(pq.read_table(p)))
+        lo = min(r[0] for r in drop_rng)
+        hi = max(r[1] for r in drop_rng)
+        ckpt_name = None
+        if tables:
+            ckpt = _last_writer_wins(_concat_widened(tables))
+            ckpt_name = f'delta-{lo}-{hi}.parquet'
+            os.makedirs(store.history_dir(pid), exist_ok=True)
+            tmp = store.tmp_path(pid, kind='vac')
+            pq.write_table(ckpt, tmp)
+            os.replace(tmp, store.history_path(pid, ckpt_name))
+        manifest.history = ([ckpt_name] if ckpt_name else []) + keep
+        manifest.history_floor_lsn = max(manifest.history_floor_lsn, hi)
+        store.commit_partition(manifest, None, remove_data=False)
+        for name in drop:
+            if name == ckpt_name:
+                continue  # collapsed in place (single-file window)
+            try:
+                os.remove(store.history_path(pid, name))
+                removed += 1
+            except FileNotFoundError:
+                pass
+    return removed
+
+
 # ---------------------------------------------------------------------------
 # pipeline façade
 # ---------------------------------------------------------------------------
@@ -1116,54 +1167,27 @@ class CDCPipeline:
         result). The partition's ``history_floor_lsn`` records the
         collapse boundary: as-of / changes requests *inside* the
         vacuumed window raise instead of returning collapsed history.
-        Manifest commits first; file removal after (crash-safe)."""
-        removed = 0
-        for pid in range(self.num_partitions):
-            with self.store.partition_lock(pid):
-                manifest = self.store.read_manifest(pid)
-                if manifest is None or not manifest.history:
-                    continue
-                keep, drop, drop_rng = [], [], []
-                for name in manifest.history:
-                    rng = _parse_delta_range(name)
-                    if rng is not None and rng[1] < before_lsn:
-                        drop.append(name)
-                        drop_rng.append(rng)
-                    else:
-                        keep.append(name)
-                if not drop:
-                    continue
-                tables = []
-                for name in drop:
-                    p = self.store.history_path(pid, name)
-                    if os.path.exists(p):
-                        tables.append(_ensure_op(pq.read_table(p)))
-                lo = min(r[0] for r in drop_rng)
-                hi = max(r[1] for r in drop_rng)
-                ckpt_name = None
-                if tables:
-                    ckpt = _last_writer_wins(_concat_widened(tables))
-                    ckpt_name = f'delta-{lo}-{hi}.parquet'
-                    os.makedirs(self.store.history_dir(pid), exist_ok=True)
-                    tmp = self.store.tmp_path(pid, kind='vac')
-                    pq.write_table(ckpt, tmp)
-                    os.replace(tmp, self.store.history_path(pid, ckpt_name))
-                manifest.history = (
-                    ([ckpt_name] if ckpt_name else []) + keep
-                )
-                manifest.history_floor_lsn = max(
-                    manifest.history_floor_lsn, hi,
-                )
-                self.store.commit_partition(manifest, None, remove_data=False)
-                for name in drop:
-                    if name == ckpt_name:
-                        continue  # collapsed in place (single-file window)
-                    try:
-                        os.remove(self.store.history_path(pid, name))
-                        removed += 1
-                    except FileNotFoundError:
-                        pass
-        return removed
+        Manifest commits first; file removal after (crash-safe).
+
+        Partitions vacuum independently (each under its own partition
+        lock), so the work fans out as one Ray task per partition when a
+        Ray session is up — the 64M soak measured the driver-sequential
+        loop at 45 s for 640 files, scaling with reclaimed-file count;
+        distributed, it scales with files-per-partition instead. Falls
+        back to the inline loop for small lakes / no Ray session."""
+        import ray
+
+        pids = list(range(self.num_partitions))
+        if ray.is_initialized() and self.num_partitions >= 8:
+            task = ray.remote(_vacuum_partition)
+            return sum(ray.get([
+                task.remote(self.lake_root, pid, before_lsn)
+                for pid in pids
+            ]))
+        return sum(
+            _vacuum_partition(self.lake_root, pid, before_lsn)
+            for pid in pids
+        )
 
     def replay_dlq(
         self,
