@@ -17,7 +17,10 @@ ITERS=${ITERS:-200}
 cd /root/repo
 for i in $(seq 1 "$ITERS"); do
     while [ -e /tmp/graft_busy ]; do sleep 20; done
-    if [ $((i % 2)) -eq 1 ]; then ncpu=8; else ncpu=32; fi
+    # 32-weighted: the 8-side healthy band re-establishes quickly (it
+    # tolerates co-tenants on the other 24 cores); the 32-side needs a
+    # whole-machine-quiet window, so probe it 3x as often.
+    if [ $((i % 4)) -eq 1 ]; then ncpu=8; else ncpu=32; fi
     load_pre=$(cut -d' ' -f1 /proc/loadavg)
     line=$(RAY_GRAFT_CPUS=$ncpu GRAFT_HEADLINE_ONLY=1 GRAFT_BENCH_PASSES=2 \
         GRAFT_BENCH_EVENTS=16000000 \
