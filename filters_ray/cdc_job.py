@@ -12,6 +12,11 @@ Usage::
     python -m filters_ray.cdc_job --lake /path/to/lake --as-of 1500 \\
         [--out snapshot.parquet]
 
+    # maintenance on an existing lake:
+    python -m filters_ray.cdc_job --lake /path/to/lake --vacuum-before 1000
+    python -m filters_ray.cdc_job --lake /path/to/lake --redrive-dlq \\
+        [--strict-langs py go rs ...]
+
 Prints the run report (or read summary) as one JSON line. Owns its Ray
 session (guarded — safe under an already-initialised cluster driver too,
 where it simply joins the existing session).
@@ -59,15 +64,27 @@ def main(argv=None) -> int:
     parser.add_argument('--report', action='store_true',
                         help='read mode: print the lake ops report '
                              '(manifest-only, no data reads)')
+    parser.add_argument('--vacuum-before', type=int, default=None,
+                        help='maintenance mode: collapse history below '
+                             'this LSN into per-partition checkpoints '
+                             'and reclaim the files (one Ray task per '
+                             'partition)')
+    parser.add_argument('--redrive-dlq', action='store_true',
+                        help='maintenance mode: re-validate every '
+                             "dead-lettered event (with --strict-langs' "
+                             'widened chain if given) and upsert the '
+                             'now-valid ones')
     parser.add_argument('--out', default=None,
                         help='write read-mode result to this parquet path')
     args = parser.parse_args(argv)
 
+    maintenance_mode = args.vacuum_before is not None or args.redrive_dlq
     read_mode = (args.changes_since is not None
-                 or args.as_of is not None or args.report)
+                 or args.as_of is not None or args.report
+                 or maintenance_mode)
     if not read_mode and not args.events:
-        parser.error('--events is required unless using --changes-since '
-                     'or --as-of')
+        parser.error('--events is required unless using --changes-since, '
+                     '--as-of, --report, --vacuum-before or --redrive-dlq')
 
     import ray
 
@@ -107,6 +124,20 @@ def main(argv=None) -> int:
         if read_mode:
             import pyarrow.parquet as pq
 
+            if args.vacuum_before is not None:
+                removed = pipeline.vacuum_history(
+                    before_lsn=args.vacuum_before)
+                print(json.dumps({
+                    'mode': 'vacuum', 'before_lsn': args.vacuum_before,
+                    'files_removed': removed,
+                    'history_files': pipeline.lake_report().get(
+                        'history_files', 0),
+                }))
+                return 0
+            if args.redrive_dlq:
+                report = pipeline.replay_dlq(langs=args.strict_langs)
+                print(json.dumps({'mode': 'redrive', **asdict(report)}))
+                return 0
             if args.report:
                 print(json.dumps(pipeline.lake_report(), sort_keys=True))
                 return 0

@@ -189,3 +189,45 @@ def test_cdc_job_read_mode_requires_existing_lake(tmp_path, ray_session):
     rc = main(['--lake', missing, '--report'])
     assert rc == 2
     assert not os.path.exists(os.path.join(missing, '_meta.json'))
+
+
+def test_cdc_job_maintenance_modes(tmp_path, ray_session):
+    """--vacuum-before and --redrive-dlq are reachable from the ray-job
+    CLI (maintenance on an existing lake, no ingest args needed)."""
+    import json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from filters_ray.cdc_job import main
+    from filters_ray.pipelines.cdc import CDCPipeline
+
+    def ev(lsn, path, content, lang=''):
+        return {'lsn': lsn, 'op': 'insert', 'repo': 'r1', 'path': path,
+                'commit': 'c' * 40, 'lang': lang, 'content': content}
+
+    lake = str(tmp_path / 'maint')
+    pipeline = CDCPipeline(lake, num_partitions=2, retain_history=True)
+    pipeline.run(rd.from_arrow(pa.Table.from_pylist([
+        ev(1, 'a.txt', 'A'),
+        ev(2, 'b.txt', 'B', lang='klingon'),  # rejected -> DLQ
+    ])))
+    pipeline.run(rd.from_arrow(pa.Table.from_pylist([
+        ev(10, 'a.txt', 'A2'),
+    ])))
+    assert pipeline.rejection_counts() != {}
+
+    rc = main(['--lake', lake, '--vacuum-before', '3'])
+    assert rc == 0
+    floors = [
+        m.history_floor_lsn
+        for m in pipeline.store.all_manifests().values()
+    ]
+    assert max(floors) >= 1
+
+    # Redrive with a widened lang set: the klingon row becomes valid.
+    rc = main(['--lake', lake, '--redrive-dlq',
+               '--strict-langs', 'klingon'])
+    assert rc == 0
+    assert pipeline.rejection_counts() == {}
+    assert pipeline.lookup('r1', 'b.txt')['content'] == b'B'
