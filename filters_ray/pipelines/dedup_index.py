@@ -108,7 +108,11 @@ class MinHashIndex:
             out = out.append_column('_pband', out.column('band'))
             return out.append_column('_pbucket', out.column('bucket'))
 
-        sigs = sigs.map_batches(with_partition_cols, batch_format='pyarrow')
+        # Materialize once: count() + write would otherwise execute the
+        # signature pipeline twice (VERDICT r4). A micro-batch is
+        # bounded, so pinning its blocks is safe.
+        sigs = sigs.map_batches(with_partition_cols,
+                                batch_format='pyarrow').materialize()
         n = sigs.count()
         write_partitioned(sigs, self.root,
                           partition_cols=['_pband', '_pbucket'])

@@ -261,3 +261,49 @@ def test_changes_feed_preserves_late_added_columns(tmp_path, ray_session):
     # The windowed dataset path too (covers the pruned-file subset).
     recent = pipeline.changes(since_lsn=2)
     assert set(recent.column('branch').to_pylist()) == {'main', 'dev'}
+
+
+def test_vacuum_sweeps_orphaned_history_files(tmp_path, ray_session):
+    """ADVICE r4: a crash between a vacuum's manifest commit and its
+    file removals strands history files no manifest lists. The next
+    vacuum entry must sweep them (restoring the disk==manifest
+    invariant test_vacuum_bounds_the_window pins), even when it has
+    nothing else to collapse."""
+    import ray.data as rd
+
+    def ev(lsn, op, path, content):
+        return {'lsn': lsn, 'op': op, 'repo': 'r1', 'path': path,
+                'commit': 'a' * 40, 'lang': '', 'content': content}
+
+    lake = str(tmp_path / 'orph')
+    pipeline = CDCPipeline(lake, num_partitions=2, retain_history=True)
+    pipeline.run(rd.from_arrow(pa.Table.from_pylist([
+        ev(1, 'insert', 'a.txt', 'A'),
+        ev(2, 'insert', 'b.txt', 'B'),
+    ])))
+    before = final_state_digests(pipeline.final_table())
+
+    # Simulate the crash debris: files in history/ that no manifest
+    # lists (as if a previous vacuum committed but died mid-removal).
+    orphans = []
+    for pid, m in pipeline.store.all_manifests().items():
+        hdir = pipeline.store.history_dir(pid)
+        os.makedirs(hdir, exist_ok=True)
+        p = os.path.join(hdir, 'delta-500-600.parquet')
+        with open(p, 'wb') as fh:
+            fh.write(b'stranded')
+        orphans.append((pid, p))
+    assert orphans
+
+    # A vacuum with nothing in range still sweeps the orphans...
+    removed = pipeline.vacuum_history(before_lsn=0)
+    assert removed == len(orphans)
+    for _, p in orphans:
+        assert not os.path.exists(p)
+    # ...and disk==manifest holds again, with the lake untouched.
+    for pid, m in pipeline.store.all_manifests().items():
+        hdir = pipeline.store.history_dir(pid)
+        if os.path.isdir(hdir):
+            assert set(os.listdir(hdir)) == set(m.history)
+    assert final_state_digests(pipeline.final_table()) == before
+    assert final_state_digests(pipeline.table_as_of(2)) == before

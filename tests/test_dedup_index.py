@@ -78,6 +78,30 @@ def test_incremental_adds_accumulate(tmp_path):
 
 
 @pytest.mark.usefixtures('ray_session')
+def test_add_executes_input_pipeline_once(tmp_path):
+    """add() must materialize once — count() + write over a lazy input
+    used to execute the whole upstream pipeline TWICE (VERDICT r4)."""
+    import uuid
+
+    import ray.data as rd
+
+    marks = tmp_path / 'marks'
+    marks.mkdir()
+
+    def marker(batch: pa.Table) -> pa.Table:
+        (marks / f'{uuid.uuid4().hex}').touch()
+        return batch
+
+    rng = np.random.default_rng(29)
+    ds = rd.from_pandas(_docs(rng, 20)).map_batches(
+        marker, batch_format='pyarrow')
+    index = MinHashIndex(str(tmp_path / 'idx'), num_buckets=16)
+    index.add(ds)
+    # from_pandas is one block: one execution => exactly one marker.
+    assert len(list(marks.iterdir())) == 1
+
+
+@pytest.mark.usefixtures('ray_session')
 def test_verified_probe_filters_by_jaccard(tmp_path):
     import ray.data as rd
 

@@ -7,7 +7,12 @@ import os
 import pyarrow as pa
 import pytest
 
-from filters_ray.state.manifest import ManifestStore, PartitionManifest, TableMeta
+from filters_ray.state.manifest import (
+    CommitConflictError,
+    ManifestStore,
+    PartitionManifest,
+    TableMeta,
+)
 from filters_ray.state.registry import SchemaRegistry, align_table, widen_schema
 
 
@@ -53,6 +58,86 @@ def test_commit_is_atomic_data_then_manifest(tmp_path):
         None,
     )
     assert not os.path.exists(store.data_path(0))
+
+
+def _m(pid: int, hwm: int, sha: str) -> PartitionManifest:
+    return PartitionManifest(
+        partition_id=pid, hwm_lsn=hwm, rows=1, bytes=1, sha256=sha,
+    )
+
+
+def test_cas_commit_conflict_detected(tmp_path):
+    """Interleaved writers with version check (VERDICT r4 #3): A reads
+    state at version v, B commits (v -> v+1), A's conditional commit
+    must fail — and succeed after re-reading, with nothing lost."""
+    store = ManifestStore(str(tmp_path))
+    store.write_meta(TableMeta(num_partitions=4))
+
+    # Bootstrap: no manifest on disk => expected_version 0.
+    store.commit_partition(_m(0, 10, 'base'), None, remove_data=False,
+                           expected_version=0)
+    assert store.read_manifest(0).commit_version == 1
+
+    # Writer A snapshots version 1; writer B commits first (1 -> 2).
+    a_version = store.read_manifest(0).commit_version
+    store.commit_partition(_m(0, 20, 'writer-b'), None, remove_data=False,
+                           expected_version=a_version)
+    assert store.read_manifest(0).commit_version == 2
+
+    # A's commit, keyed on the stale snapshot, loses the race loudly.
+    with pytest.raises(CommitConflictError) as exc_info:
+        store.commit_partition(_m(0, 15, 'writer-a'), None,
+                               remove_data=False, expected_version=a_version)
+    assert exc_info.value.expected == 1
+    assert exc_info.value.found == 2
+    # B's state survived untouched.
+    assert store.read_manifest(0).sha256 == 'writer-b'
+    assert store.read_manifest(0).hwm_lsn == 20
+
+    # The OCC retry: A re-reads, re-merges (here: new hwm folds B's),
+    # and its conditional commit now lands.
+    fresh = store.read_manifest(0)
+    store.commit_partition(_m(0, max(fresh.hwm_lsn, 15), 'writer-a2'), None,
+                           remove_data=False,
+                           expected_version=fresh.commit_version)
+    after = store.read_manifest(0)
+    assert after.commit_version == 3
+    assert after.hwm_lsn == 20
+
+
+def test_cas_conflict_reclaims_staged_data(tmp_path):
+    """A losing conditional commit must not leak its staged tmp file or
+    clobber the winner's data file."""
+    import pyarrow.parquet as pq
+
+    store = ManifestStore(str(tmp_path))
+    store.write_meta(TableMeta(num_partitions=4))
+
+    winner = pa.table({'repo': ['r'], 'path': ['p'], 'content': ['w'],
+                       'last_lsn': [2]})
+    tmp = store.tmp_path(0)
+    pq.write_table(winner, tmp)
+    store.commit_partition(_m(0, 2, 'w'), tmp, expected_version=0)
+
+    loser = pa.table({'repo': ['r'], 'path': ['p'], 'content': ['l'],
+                      'last_lsn': [1]})
+    tmp2 = store.tmp_path(0)
+    pq.write_table(loser, tmp2)
+    with pytest.raises(CommitConflictError):
+        store.commit_partition(_m(0, 1, 'l'), tmp2, expected_version=0)
+    assert not os.path.exists(tmp2)
+    got = pq.read_table(store.data_path(0))
+    assert got.column('content').to_pylist() == ['w']
+
+
+def test_unconditional_commit_still_unconditional(tmp_path):
+    """expected_version=None keeps the legacy flock-mode contract:
+    always publish, version = found + 1."""
+    store = ManifestStore(str(tmp_path))
+    store.write_meta(TableMeta(num_partitions=4))
+    store.commit_partition(_m(1, 5, 'a'), None, remove_data=False)
+    store.commit_partition(_m(1, 6, 'b'), None, remove_data=False)
+    assert store.read_manifest(1).commit_version == 2
 
 
 def test_widen_schema_additive():
