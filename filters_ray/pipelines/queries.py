@@ -114,6 +114,17 @@ class _IntLookup:
         keys = np.asarray(keys, dtype=np.int64)
         values = np.asarray(values, dtype=np.int32)
         self.missing = missing
+        if keys.size:
+            # Duplicate build keys: keep-LAST, explicitly (ADVICE r4).
+            # The dense path's ``lut[keys] = values`` already made the
+            # last write win; the hashed path's pd.Index.get_indexer
+            # would instead raise InvalidIndexError on a non-unique
+            # index — dedupe up front so both representations share one
+            # documented rule.
+            _, first_in_reversed = np.unique(keys[::-1], return_index=True)
+            if first_in_reversed.size != keys.size:
+                sel = keys.size - 1 - first_in_reversed
+                keys, values = keys[sel], values[sel]
         domain = int(keys.max()) + 1 if keys.size else 0
         if domain <= _DENSE_LUT_MAX and (keys >= 0).all():
             lut = np.full(domain, missing, dtype=np.int32)

@@ -85,8 +85,18 @@ class _BroadcastJoinStage:
             t = l_types.get(c, self.r_types.get(c))
             try:
                 arrays[c] = pa.array(out[c].values, type=t, from_pandas=True)
-            except (pa.ArrowInvalid, pa.ArrowTypeError):
-                arrays[c] = pa.array(out[c].values, from_pandas=True)
+            except (pa.ArrowInvalid, pa.ArrowTypeError) as exc:
+                # Fail loudly (ADVICE r4): a silent infer-fallback here
+                # could emit divergent per-batch schemas — the exact
+                # leak the type restore exists to plug — and would mask
+                # a lossy value (e.g. a non-integral float where an int
+                # column was expected; NaN padding alone restores fine
+                # via from_pandas null handling).
+                raise TypeError(
+                    f'broadcast join could not restore column {c!r} to '
+                    f'its original Arrow type {t} (pandas dtype '
+                    f'{out[c].dtype}): {exc}',
+                ) from exc
         return pa.table(arrays).replace_schema_metadata(None)
 
 

@@ -39,20 +39,15 @@ def normalize(df):
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
-def main() -> int:
+def run_checks(sf_dir: str, only=None, log=print) -> list:
+    """Check ``queries()`` vs ``oracle_sql()`` at ``sf_dir``; returns the
+    failing names. Caller owns the Ray session (pytest reuses its
+    session fixture; ``main`` below inits its own)."""
     import duckdb
-    import ray
-
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
-    only = set(sys.argv[2:])
-
-    ray.init(address='local', num_cpus=8, include_dashboard=False,
-             ignore_reinit_error=True, logging_level='ERROR')
-    from ray.data import DataContext
-    DataContext.get_current().enable_progress_bars = False
 
     import __ray_entry__ as entrymod
 
+    only = set(only) if only else None
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
 
@@ -71,12 +66,12 @@ def main() -> int:
         try:
             ours = to_pandas(fn(sf_dir))
         except Exception as exc:  # noqa: BLE001
-            print(f'FAIL  {name}: raised {type(exc).__name__}: {exc}')
+            log(f'FAIL  {name}: raised {type(exc).__name__}: {exc}')
             failures.append(name)
             continue
         elapsed = time.time() - t0
         if name not in sqls:
-            print(f'ok    {name}: rows={len(ours)} ({elapsed:.1f}s, rows-only)')
+            log(f'ok    {name}: rows={len(ours)} ({elapsed:.1f}s, rows-only)')
             continue
         theirs = con.execute(sqls[name]).fetchdf()
         # Dtype-kind check first: an int column on one side vs float on
@@ -89,27 +84,44 @@ def main() -> int:
             if c in kinds_b and {kinds_a[c], kinds_b[c]} == {'i', 'f'}
         }
         if mismatched:
-            print(f'FAIL  {name}: int/float dtype mismatch in {sorted(mismatched)} '
+            log(f'FAIL  {name}: int/float dtype mismatch in {sorted(mismatched)} '
                   f'(ours={ {c: kinds_a[c] for c in mismatched} }, '
                   f'orcl={ {c: kinds_b[c] for c in mismatched} })')
             failures.append(name)
             continue
         a, b = normalize(ours), normalize(theirs)
         if len(a) != len(b):
-            print(f'FAIL  {name}: rows {len(a)} != {len(b)} ({elapsed:.1f}s)')
+            log(f'FAIL  {name}: rows {len(a)} != {len(b)} ({elapsed:.1f}s)')
             failures.append(name)
         elif list(a.columns) != list(b.columns):
-            print(f'FAIL  {name}: columns {list(a.columns)} != {list(b.columns)}')
+            log(f'FAIL  {name}: columns {list(a.columns)} != {list(b.columns)}')
             failures.append(name)
         elif not a.equals(b):
             diff = (a != b).any(axis=1)
-            print(f'FAIL  {name}: values differ in {int(diff.sum())} rows '
+            log(f'FAIL  {name}: values differ in {int(diff.sum())} rows '
                   f'({elapsed:.1f}s)')
-            print('  ours:', a[diff].head(3).to_dict('records'))
-            print('  orcl:', b[diff].head(3).to_dict('records'))
+            log('  ours:', a[diff].head(3).to_dict('records'))
+            log('  orcl:', b[diff].head(3).to_dict('records'))
             failures.append(name)
         else:
-            print(f'ok    {name}: rows={len(a)} match ({elapsed:.1f}s)')
+            log(f'ok    {name}: rows={len(a)} match ({elapsed:.1f}s)')
+
+    con.close()
+    return failures
+
+
+def main() -> int:
+    import ray
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
+    only = set(sys.argv[2:]) or None
+
+    ray.init(address='local', num_cpus=8, include_dashboard=False,
+             ignore_reinit_error=True, logging_level='ERROR')
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    failures = run_checks(sf_dir, only=only)
 
     ray.shutdown()
     print(f'\n{len(failures)} failures' if failures else '\nall green')
