@@ -15,6 +15,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import List, Tuple
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -111,6 +113,10 @@ class CompiledChain:
             arr = arr.combine_chunks()
         if pa.types.is_dictionary(arr.type):
             return self._apply_dictionary(arr)
+        enc = self._maybe_auto_encode(arr)
+        if enc is not None:
+            self.dict_fast_path_hits += 1
+            return self._apply_dictionary(enc)
         n = len(arr)
         errors = ColumnErrors(n)
         ok = np.ones(n, dtype=bool)
@@ -144,6 +150,41 @@ class CompiledChain:
                 break
 
         return self._stitch(current, frozen, n), errors
+
+    # Auto-encode gate (VERDICT r4 #8): parquet readers decode dictionary
+    # pages back to plain strings, so the dictionary fast path was
+    # unreachable from a real read. Probe a prefix; when a big string
+    # column is low-cardinality (CDC's repo/lang/op), one C hash pass
+    # buys running the whole chain over the uniques instead of every row.
+    _DICT_MIN_ROWS = 4096        # below this the plain path is cheap anyway
+    _DICT_PROBE = 1024           # prefix rows to probe
+    _DICT_PROBE_MAX_UNIQUE = 128  # probe uniques above this → skip
+    dict_fast_path_hits = 0      # instance-shadowed instrumentation counter
+
+    def _maybe_auto_encode(self, arr: pa.Array):
+        """Dictionary-encode a plain low-cardinality string column so the
+        dictionary fast path fires on parquet-decoded input; returns the
+        DictionaryArray, or None to take the plain path. Output values and
+        error masks are identical either way (`_apply_dictionary` gathers
+        decoded results back through the indices; parity-tested).
+
+        ``GRAFT_NO_AUTO_DICT=1`` holds the gate shut (A/B benchmarking)."""
+        if os.environ.get('GRAFT_NO_AUTO_DICT'):
+            return None
+        if len(arr) < self._DICT_MIN_ROWS:
+            return None
+        if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
+            return None
+        probe = arr.slice(0, self._DICT_PROBE)
+        if len(pc.unique(probe)) > self._DICT_PROBE_MAX_UNIQUE:
+            return None
+        enc = pc.dictionary_encode(arr)
+        # Prefix lied (e.g. locally-clustered data): encoding a
+        # high-cardinality column would make the chain run over ~all
+        # values anyway, plus gather overhead — fall back.
+        if len(enc.dictionary) > len(arr) // 4:
+            return None
+        return enc
 
     def _apply_dictionary(self, arr: pa.DictionaryArray):
         """Dictionary fast path (VERDICT r3 #7): run the chain ONCE over

@@ -359,3 +359,50 @@ def test_dictionary_all_null_and_empty_dict():
     assert out.to_pylist() == [None, None]
     assert [sorted(r) for r in errors.codes_per_row()] == \
         [[('', 'empty')], [('', 'empty')]]
+
+
+class TestAutoDictionaryEncode:
+    """Auto-encode gate (VERDICT r4 #8): parquet readers decode dictionary
+    pages to plain strings, so the r3 fast path never fired on real reads.
+    apply_column now probes big plain string columns and dictionary-encodes
+    the low-cardinality ones itself."""
+
+    def _big_low_card(self, n=20_000):
+        vals = ['py', 'go', 'rs', 'xx', None, ''] * (n // 6)
+        return pa.array(vals, type=pa.string())
+
+    def test_fires_on_low_cardinality_plain_strings(self, monkeypatch):
+        col = self._big_low_card()
+        compiled = compile_chain(f.Required | f.Choice(choices={'py', 'go', 'rs'}))
+        out_fast, err_fast = compiled.apply_column(col)
+        assert compiled.dict_fast_path_hits == 1
+
+        # Parity vs the gate held shut (the plain row-wise path).
+        monkeypatch.setattr(type(compiled), '_DICT_MIN_ROWS', 10**9)
+        out_plain, err_plain = compiled.apply_column(col)
+        assert out_fast.to_pylist() == out_plain.to_pylist()
+        assert [sorted(r) for r in err_fast.codes_per_row()] == \
+            [sorted(r) for r in err_plain.codes_per_row()]
+
+    def test_skips_high_cardinality(self):
+        n = 8192
+        col = pa.array([f'commit-{i:040d}' for i in range(n)])
+        compiled = compile_chain(f.Required | f.MaxLength(64))
+        compiled.apply_column(col)
+        assert compiled.dict_fast_path_hits == 0
+
+    def test_clustered_prefix_falls_back_on_dict_size(self):
+        # First 1024 rows are one value (probe says low-cardinality) but
+        # the full column is ~unique: the post-encode dictionary-size
+        # check must reject it.
+        n = 8192
+        col = pa.array(['same'] * 2048 + [f'u{i}' for i in range(n - 2048)])
+        compiled = compile_chain(f.Required | f.MaxLength(64))
+        compiled.apply_column(col)
+        assert compiled.dict_fast_path_hits == 0
+
+    def test_small_columns_skip(self):
+        col = pa.array(['py', 'go'] * 100)
+        compiled = compile_chain(f.Required)
+        compiled.apply_column(col)
+        assert compiled.dict_fast_path_hits == 0

@@ -44,6 +44,11 @@ def main() -> None:
     ap.add_argument('--vacuum-every', type=int, default=4)
     ap.add_argument('--vacuum-keep-batches', type=int, default=2,
                     help='retain at least this many recent batch windows')
+    ap.add_argument('--redrive-at', type=int, default=None,
+                    help='after this batch index, run a widened-langs DLQ '
+                         'redrive mid-replay (maintenance plane coexisting '
+                         'with ingest; default: batches // 2)')
+    ap.add_argument('--no-redrive', action='store_true')
     ap.add_argument('--num-cpus', type=int,
                     default=int(os.environ.get('RAY_GRAFT_CPUS', '32')))
     ap.add_argument('--lake', default='/tmp/soak_lake')
@@ -82,6 +87,11 @@ def main() -> None:
         compact_every=args.compact_every, retain_history=True,
     )
 
+    redrive_at = args.redrive_at
+    if redrive_at is None and not args.no_redrive:
+        redrive_at = len(groups) // 2
+    redrive_applied = 0
+
     hwm_after_batch = []
     total_applied = total_skipped = 0
     for bi, group in enumerate(groups):
@@ -119,6 +129,31 @@ def main() -> None:
                 pipeline.lake_report()['history_files']
         print(json.dumps(line), flush=True)
 
+        if redrive_at is not None and bi == redrive_at:
+            # Maintenance plane mid-replay (VERDICT r4 #7): redrive the
+            # DLQ under a widened lang set ('klingon' is one of the
+            # synthesizer's planted defects), so a real slice of the
+            # rejected rows re-validates and merges while later ingest
+            # batches are still pending. LWW still protects the lake:
+            # a redriven event never overrides a newer writer.
+            from filters_ray.sources.synth import LANGS
+            before = pipeline.dlq_dataset().count()
+            rt = time.time()
+            rrep = pipeline.replay_dlq(langs=list(LANGS) + ['klingon'])
+            rwall = time.time() - rt
+            after = pipeline.dlq_dataset().count()
+            redrive_applied = rrep.events_applied
+            print(json.dumps({
+                'redrive_after_batch': bi,
+                'wall_sec': round(rwall, 2),
+                'dlq_rows_before': before,
+                'dlq_rows_after': after,
+                'redrive_applied': rrep.events_applied,
+                'redrive_skipped': rrep.events_skipped,
+                'lake_rows': pipeline.lake_report()['lake_rows'],
+                'driver_rss_mb': round(rss_mb(), 1),
+            }), flush=True)
+
     stats = pipeline.last_stats
     final = pipeline.lake_report()
     print(json.dumps({
@@ -128,6 +163,8 @@ def main() -> None:
         'gen_sec': gen_sec,
         'applied_total': total_applied,
         'skipped_total': total_skipped,
+        'redrive_applied': redrive_applied,
+        'final_dlq_rows': pipeline.dlq_dataset().count(),
         'final': final,
         'driver_rss_mb': round(rss_mb(), 1),
         'last_run_stats_tail': (stats or '')[-1600:],
