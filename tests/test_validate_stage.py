@@ -180,3 +180,30 @@ def test_validate_stage_in_ray_pipeline():
     assert len(out) == 100
     n_bad = sum(1 for r in out if r[ERRORS_COLUMN])
     assert n_bad == 10
+
+
+def test_auto_dict_fast_path_fires_on_flagship_batch():
+    """Integration pin for the auto-encode gate (VERDICT r4 #8): on a
+    flagship-shaped event batch (parquet-decoded = plain strings) the
+    dictionary fast path must fire for the low-cardinality columns
+    (op/repo/lang) and stay shut for the ~unique ones
+    (commit/path/content), where encode+gather would only add cost."""
+    from filters_ray.pipelines.cdc import CDCValidateStage
+    from filters_ray.sources.synth import SynthConfig, make_events
+
+    batch = make_events(SynthConfig(n_keys=3000, n_events=9000, seed=5))
+    assert batch.num_rows >= 8192  # above the gate's _DICT_MIN_ROWS
+
+    stage = CDCValidateStage(num_partitions=16)
+    out = stage(batch)
+    assert out.num_rows == batch.num_rows
+
+    hits = {
+        col: chain.dict_fast_path_hits
+        for col, chain in stage.validator.compiled.items()
+        if chain is not None
+    }
+    for col in ('op', 'repo', 'lang'):
+        assert hits.get(col, 0) >= 1, (col, hits)
+    for col in ('commit', 'path', 'content'):
+        assert hits.get(col, 0) == 0, (col, hits)
